@@ -1,0 +1,126 @@
+"""Typed configuration system shared across all pipeline stages.
+
+The reference scatters ~35 argparse flags per entry point (reference
+train.py:54-135); here every stage consumes one of these dataclasses, and the
+CLI layers (train.py, compute_feats.py, ...) parse reference-compatible flags
+into them — including the composite literal-eval'd "sweep" flags
+(reference train.py:1008-1011).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+HISTOPATHOLOGY_DATASETS = ("camelyon16", "tcga")
+MIL_DATASETS = ("musk1", "musk2", "elephant")
+
+# MIL benchmark feature widths auto-selected by dataset
+# (mirrors reference train.py:992-999).
+MIL_DATASET_FEATS_SIZE = {"musk1": 166, "musk2": 166, "elephant": 230}
+
+
+@dataclass(frozen=True)
+class SnuffyModelConfig:
+    """Architecture of the Snuffy sparse-transformer MIL model.
+
+    Semantics follow reference snuffy.py / snuffy_multiclass.py; shapes are
+    static (bags padded + masked) so every forward maps onto one XLA program.
+    """
+
+    feats_size: int = 512
+    num_classes: int = 1
+    num_heads: int = 6
+    big_lambda: int = 200          # Λ: number of attended (selected) tokens
+    random_patch_share: float = 0.0  # ρ: fraction of Λ sampled uniformly
+    mlp_multiplier: int = 4
+    encoder_dropout: float = 0.0   # residual-branch + FFN dropout
+    attention_dropout: float = 0.1  # dropout on attention probabilities
+    activation: str = "relu"
+    depth: int = 1
+    multiclass: bool = False       # snuffy_multiclass.py selection semantics
+    weight_init_i: str = "xavier_normal"
+    weight_init_b: str = "xavier_normal"
+    use_pallas: bool = True        # use the Pallas sparse-attention kernel on TPU
+    param_dtype: str = "float32"
+
+    @property
+    def top_share(self) -> float:
+        return 1.0 - self.random_patch_share
+
+    @property
+    def k_top(self) -> int:
+        """Static top-Λ share count: ceil(Λ·(1−ρ))."""
+        import math
+
+        return math.ceil(self.big_lambda * self.top_share)
+
+    @property
+    def k_rand(self) -> int:
+        """Static random-share count: int(Λ·ρ)."""
+        return int(self.big_lambda * self.random_patch_share)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    optimizer: str = "adam"        # adam | adamw
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.5, 0.9)
+    weight_decay: float = 5e-3
+    eta_min: float = 5e-6
+    scheduler: str = "cosine"      # cosine | cosinewarmup | none
+    clip_grad: Optional[float] = None
+    single_weight_lr_multiplier: float = 0.1
+
+
+@dataclass(frozen=True)
+class MILTrainConfig:
+    """MIL training runtime config (reference train.py Trainer/Runner)."""
+
+    model: SnuffyModelConfig = field(default_factory=SnuffyModelConfig)
+    optim: OptimizerConfig = field(default_factory=OptimizerConfig)
+    num_epochs: int = 200
+    dataset: str = "camelyon16"
+    embedding: str = "SimCLR"
+    split: float = 0.2
+    dropout_patch: float = 0.0
+    l2normed_embeddings: bool = False
+    soft_average: bool = False     # learn the bag/instance loss-mixing weight
+    num_processes: int = 8
+    use_mp: bool = True
+    bins: int = 10                 # ECE calibration bins
+    seed: int = 1
+    arch: str = "snuffy"
+    # MIL-dataset cross validation (musk1/musk2/elephant)
+    cv_num_folds: int = 10
+    cv_current_fold: int = 0
+    cv_valid_ratio: float = 0.2
+    # Batched-bags mode: 0/1 keeps the reference per-bag-step semantics;
+    # >1 averages grads over a batch of bags (the data-parallel unit on TPU).
+    bag_batch_size: int = 1
+    # Paths (reference train.py:41-47)
+    embeddings_path: str = "embeddings/"
+    save_path: str = "runs/"
+    camelyon16_reference: str = "datasets/camelyon16/reference.csv"
+    camelyon16_mask_path: str = "datasets/camelyon16/masks"
+    run_name: Optional[str] = None
+
+
+def parse_literal_flag(value):
+    """Parse the reference's composite sweep flags (lists encoded as strings),
+    e.g. --betas='[0.5, 0.9]' (reference train.py:1008-1011)."""
+    if isinstance(value, (list, tuple)):
+        return value
+    return ast.literal_eval("".join(value))
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace, re-exported for CLI convenience."""
+    return dataclasses.replace(cfg, **kw)
+
+
+def resolve_feats_size(dataset: str, feats_size: int) -> int:
+    """MIL datasets force their own feature width (reference train.py:992-999)."""
+    return MIL_DATASET_FEATS_SIZE.get(dataset, feats_size)

@@ -1,0 +1,284 @@
+"""Snuffy sparse-transformer MIL model, TPU-native.
+
+Covers both reference model files:
+  - binary   (reference snuffy.py:34-238)
+  - multiclass (reference snuffy_multiclass.py:34-253)
+selected by `SnuffyModelConfig.multiclass`.
+
+Design differences from the reference (deliberate, TPU-first):
+  * One bag is a static-shape (N_pad, D) array plus a (N_pad,) validity
+    mask; ragged bags are bucketed by the data layer. All selection,
+    attention, scatter, pooling and losses are mask-correct, so results on
+    the valid prefix equal the unpadded reference.
+  * The per-layer random share is drawn on-device (Gumbel top-k) from a
+    `'sparse'` RNG stream instead of host `np.random.choice`
+    (snuffy.py:141) — no host↔device sync in the hot loop.
+  * Attention runs through `inverted_sparse_attention` (XLA einsum) or the
+    fused Pallas kernel; both produce (Λ, d) outputs scattered back into the
+    sequence with `x.at[idx].set(..., mode='drop')`, the jit-safe equivalent
+    of `y[:, selected_indices, :] = x_big_lambda` (snuffy.py:152-155).
+
+Forward signature (single bag; vmap for batches):
+    ins_logits (N, C), bag_logits (C,), p_attn (h, N, S) =
+        MILNet(cfg).apply(params, feats, mask,
+                          rngs={'sparse': k1, 'dropout': k2},
+                          deterministic=...)
+
+Faithfully kept quirks:
+  * attention keys are projected from the *pre-norm* selected tokens while
+    queries/values come from LayerNorm(x) (snuffy.py:107 + 131/145: the
+    gather happens before `self.norm(x)` is applied inside
+    SublayerConnection);
+  * the attention residual is the pre-norm selected tokens
+    (snuffy.py:102-108);
+  * attention-probability dropout defaults to 0.1 (snuffy.py:171-181).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from snuffy_tpu.configs import SnuffyModelConfig
+from snuffy_tpu.ops.init import get_weight_init
+from snuffy_tpu.ops.selection import (
+    Selection,
+    binary_lambda_selection,
+    multiclass_lambda_selection,
+)
+from snuffy_tpu.ops.sparse_attention import inverted_sparse_attention
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "selu": jax.nn.selu,
+}
+
+
+def _dense(features: int, init_name: str, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=get_weight_init(init_name),
+        bias_init=jax.nn.initializers.zeros,
+        name=name,
+    )
+
+
+class FCLayer(nn.Module):
+    """Instance classifier: feats → (feats, logits) (reference snuffy.py:34-41)."""
+
+    num_classes: int
+    init_name: str
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logits = _dense(self.num_classes, self.init_name, "fc")(feats)
+        return feats, logits
+
+
+class MultiHeadedAttention(nn.Module):
+    """Q/K/V/O projections around the inverted sparse attention
+    (reference snuffy.py:171-205)."""
+
+    cfg: SnuffyModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        query_src: jnp.ndarray,   # (N, d) — LayerNorm(x)
+        key_tokens: jnp.ndarray,  # (S, d) — pre-norm selected tokens
+        value_src: jnp.ndarray,   # (N, d) — LayerNorm(x)
+        slot_valid: jnp.ndarray,  # (S,)
+        q_valid: jnp.ndarray,     # (N,)
+        deterministic: bool,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        d, h = cfg.feats_size, cfg.num_heads
+        assert d % h == 0, "feats_size must be divisible by num_heads"
+        dk = d // h
+        init = cfg.weight_init_b
+
+        def split_heads(t):  # (L, d) -> (h, L, dk)
+            return t.reshape(t.shape[0], h, dk).transpose(1, 0, 2)
+
+        q = split_heads(_dense(d, init, "wq")(query_src))
+        k = split_heads(_dense(d, init, "wk")(key_tokens))
+        v = split_heads(_dense(d, init, "wv")(value_src))
+
+        drop_rng = None
+        rate = cfg.attention_dropout
+        if rate > 0.0 and not deterministic:
+            drop_rng = self.make_rng("dropout")
+
+        out, p_attn = inverted_sparse_attention(
+            q, k, v, slot_valid, q_valid,
+            dropout_rate=0.0 if deterministic else rate,
+            dropout_rng=drop_rng,
+        )
+        # (h, S, dk) -> (S, d)
+        out = out.transpose(1, 0, 2).reshape(out.shape[1], d)
+        return _dense(d, init, "wo")(out), p_attn
+
+
+class PositionwiseFeedForward(nn.Module):
+    """d → d·mult → activation → dropout → d (reference snuffy.py:208-225)."""
+
+    cfg: SnuffyModelConfig
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        act = ACTIVATIONS[cfg.activation]
+        h = _dense(cfg.feats_size * cfg.mlp_multiplier, cfg.weight_init_b, "w1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        return _dense(cfg.feats_size, cfg.weight_init_b, "w2")(h)
+
+
+class EncoderLayer(nn.Module):
+    """One sparse-attention block: select Λ tokens, attend, scatter, FFN
+    (reference snuffy.py:113-157 / snuffy_multiclass.py:116-171)."""
+
+    cfg: SnuffyModelConfig
+    ffn_dropout: float
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,            # (N, d)
+        c: jnp.ndarray,            # (N, C) instance logits
+        mask: jnp.ndarray,         # (N,) bool
+        deterministic: bool,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        n = x.shape[0]
+        sparse_key = self.make_rng("sparse")
+
+        if cfg.multiclass:
+            sel, _ = multiclass_lambda_selection(sparse_key, c, mask, cfg.k_top)
+        else:
+            sel = binary_lambda_selection(
+                sparse_key, c[:, 0], mask, min(cfg.k_top, n), cfg.k_rand
+            )
+        # Expose the realized selection for tests/visualization via
+        # apply(..., mutable=['intermediates']).
+        self.sow("intermediates", "sel_indices", sel.indices)
+        self.sow("intermediates", "sel_valid", sel.slot_valid)
+
+        # Gather from PRE-norm x: both the key tokens and the residual branch
+        # (reference snuffy.py:131,145 + SublayerConnection snuffy.py:102-108).
+        sel_tokens = jnp.take(x, sel.indices, axis=0)
+
+        normed = nn.LayerNorm(name="ln_attn")(x)
+        attn_out, p_attn = MultiHeadedAttention(cfg, name="attn")(
+            normed, sel_tokens, normed, sel.slot_valid, mask, deterministic
+        )
+        attn_out = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(
+            attn_out
+        )
+        new_sel = sel_tokens + attn_out
+
+        # Scatter updated rows back; invalid slots are routed out of bounds
+        # and dropped (equiv. of snuffy.py:152-155 on the valid sub-bag).
+        scatter_idx = jnp.where(sel.slot_valid, sel.indices, jnp.int32(n))
+        y = x.at[scatter_idx].set(new_sel, mode="drop")
+
+        ff = PositionwiseFeedForward(cfg, self.ffn_dropout, name="ff")(
+            nn.LayerNorm(name="ln_ff")(y), deterministic
+        )
+        ff = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(ff)
+        return y + ff, p_attn
+
+
+class Encoder(nn.Module):
+    """Stack of depth EncoderLayers + final LayerNorm (reference snuffy.py:74-86)."""
+
+    cfg: SnuffyModelConfig
+    ffn_dropout: float
+
+    @nn.compact
+    def __call__(self, x, c, mask, deterministic):
+        p_attn = None
+        for i in range(self.cfg.depth):
+            x, p_attn = EncoderLayer(
+                self.cfg, self.ffn_dropout, name=f"layer_{i}"
+            )(x, c, mask, deterministic)
+        return nn.LayerNorm(name="ln_final")(x), p_attn
+
+
+class BClassifier(nn.Module):
+    """Encoder → masked mean pool → linear bag head (reference snuffy.py:62-71)."""
+
+    cfg: SnuffyModelConfig
+    ffn_dropout: float
+
+    @nn.compact
+    def __call__(self, x, c, mask, deterministic):
+        enc, p_attn = Encoder(self.cfg, self.ffn_dropout, name="encoder")(
+            x, c, mask, deterministic
+        )
+        denom = jnp.maximum(jnp.sum(mask), 1).astype(enc.dtype)
+        pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0) / denom
+        bag_logits = _dense(self.cfg.num_classes, self.cfg.weight_init_b, "linear")(
+            pooled
+        )
+        return bag_logits, p_attn
+
+
+class MILNet(nn.Module):
+    """i_classifier + b_classifier (reference snuffy.py:228-238).
+
+    __call__(feats (N, d), mask (N,)) →
+        (ins_logits (N, C), bag_logits (C,), p_attn (h, N, S))
+    """
+
+    cfg: SnuffyModelConfig
+    ffn_dropout: Optional[float] = None
+
+    def _ffn_dropout(self) -> float:
+        if self.ffn_dropout is not None:
+            return self.ffn_dropout
+        # Reference FFN-internal dropout: binary uses encoder_dropout
+        # (train.py:870-875), multiclass leaves the 0.1 default
+        # (train.py:932-936 + snuffy_multiclass.py:226).
+        return 0.1 if self.cfg.multiclass else self.cfg.encoder_dropout
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        if mask is None:
+            mask = jnp.ones(feats.shape[0], dtype=bool)
+        feats = feats * mask[:, None].astype(feats.dtype)
+        _, ins_logits = FCLayer(
+            self.cfg.num_classes, self.cfg.weight_init_i, name="i_classifier"
+        )(feats)
+        bag_logits, p_attn = BClassifier(
+            self.cfg, self._ffn_dropout(), name="b_classifier"
+        )(feats, ins_logits, mask, deterministic)
+        return ins_logits, bag_logits, p_attn
+
+
+def build_milnet(cfg: SnuffyModelConfig) -> MILNet:
+    return MILNet(cfg)
+
+
+def init_milnet_params(cfg: SnuffyModelConfig, seed: int = 0, n_example: int = 64):
+    """Initialize parameters with a dummy bag of length n_example."""
+    model = build_milnet(cfg)
+    k_param, k_sparse = jax.random.split(jax.random.PRNGKey(seed))
+    feats = jnp.zeros((n_example, cfg.feats_size), jnp.float32)
+    mask = jnp.ones((n_example,), bool)
+    variables = model.init(
+        {"params": k_param, "sparse": k_sparse}, feats, mask, True
+    )
+    return variables["params"]

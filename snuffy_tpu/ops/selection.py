@@ -1,0 +1,165 @@
+"""Static-shape token selection for the Snuffy sparse attention pattern.
+
+The reference picks, per encoder layer, the top ⌈Λ·(1−ρ)⌉ tokens by instance
+logit plus ⌊Λ·ρ⌋ tokens sampled uniformly *without replacement* from the
+remainder (reference snuffy.py:126-155), using a host-side
+`np.random.choice` that breaks any accelerator pipeline. Here both shares are
+computed on-device with static shapes:
+
+- top share: `lax.top_k` over mask-guarded logits;
+- random share: Gumbel-top-k over the remainder mask, which is exactly
+  uniform sampling without replacement and stays inside `jit`.
+
+Bags are padded to bucket lengths; every selection returns a per-slot
+validity mask so downstream attention/scatter can ignore dead slots. Slot
+validity reproduces the reference's dynamic sizing rules:
+`k_top_eff = min(k_top, n_valid)` and
+`k_rand_eff = min(k_rand, n_valid − k_top_eff)` (snuffy.py:136-143).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Selection(NamedTuple):
+    """Indices of selected tokens plus per-slot validity.
+
+    indices: (S,) int32 — token positions in the padded bag. Invalid slots
+        hold an arbitrary (masked) position; consumers must route them
+        through `slot_valid`.
+    slot_valid: (S,) bool.
+    """
+
+    indices: jnp.ndarray
+    slot_valid: jnp.ndarray
+
+
+def top_share_selection(scores: jnp.ndarray, valid: jnp.ndarray, k: int) -> Selection:
+    """Top-k token positions by score among valid tokens.
+
+    scores: (N,) float; valid: (N,) bool. Matches a descending stable sort's
+    first-k slice (reference snuffy.py:128-131): `lax.top_k` breaks ties by
+    lowest index, as torch.sort(descending=True, stable) does.
+    """
+    guarded = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    vals, idx = jax.lax.top_k(guarded, k)
+    return Selection(idx.astype(jnp.int32), jnp.isfinite(vals))
+
+
+def gumbel_without_replacement(
+    key: jax.Array, allowed: jnp.ndarray, k: int
+) -> Selection:
+    """Sample k positions uniformly without replacement from `allowed`.
+
+    Gumbel-top-k: adding i.i.d. Gumbel noise to equal logits and taking the
+    top-k is distributionally identical to sequential uniform draws without
+    replacement — the jit-safe equivalent of `np.random.choice(...,
+    replace=False)` (reference snuffy.py:141-143).
+    """
+    g = jax.random.gumbel(key, allowed.shape, dtype=jnp.float32)
+    guarded = jnp.where(allowed, g, -jnp.inf)
+    vals, idx = jax.lax.top_k(guarded, k)
+    return Selection(idx.astype(jnp.int32), jnp.isfinite(vals))
+
+
+def binary_lambda_selection(
+    key: jax.Array,
+    instance_logits: jnp.ndarray,  # (N,) — single-class logits
+    valid: jnp.ndarray,            # (N,) bool
+    k_top: int,
+    k_rand: int,
+) -> Selection:
+    """The binary-Snuffy Λ pattern: top share then uniform random share.
+
+    Returns S = k_top + k_rand slots. Semantics of reference
+    snuffy.py:126-153 under padding:
+      - if n_valid < k_top, surplus top slots are invalid;
+      - the random share draws from valid ∧ ¬top, capped implicitly at the
+        remainder size via slot validity (matches snuffy.py:137-140).
+    """
+    top = top_share_selection(instance_logits, valid, k_top)
+    if k_rand == 0:
+        return top
+    # Remove top picks from the eligible pool. Invalid top slots index padded
+    # (already-False) positions, so unconditional clearing is safe.
+    remainder = valid.at[top.indices].set(False)
+    rand = gumbel_without_replacement(key, remainder, k_rand)
+    return Selection(
+        jnp.concatenate([top.indices, rand.indices]),
+        jnp.concatenate([top.slot_valid, rand.slot_valid]),
+    )
+
+
+def _unique_ascending(flat_idx: jnp.ndarray, flat_valid: jnp.ndarray, n: int):
+    """Deduplicate `flat_idx` (values in [0, n)), keeping ascending order.
+
+    Returns (compacted (len,) int32 with unique values first, count r).
+    jit-safe replacement for torch.unique (reference
+    snuffy_multiclass.py:139-141), which also returns ascending values.
+    """
+    sentinel = jnp.int32(n)
+    guarded = jnp.where(flat_valid, flat_idx.astype(jnp.int32), sentinel)
+    s = jnp.sort(guarded)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    is_unique = first & (s < sentinel)
+    r = jnp.sum(is_unique)
+    # Stable-compact unique entries to the front, preserving ascending order.
+    order = jnp.argsort(~is_unique, stable=True)
+    return s[order], r
+
+
+def multiclass_lambda_selection(
+    key: jax.Array,
+    instance_logits: jnp.ndarray,  # (N, C)
+    valid: jnp.ndarray,            # (N,) bool
+    k_top: int,
+) -> Tuple[Selection, jnp.ndarray]:
+    """The multiclass Λ pattern (reference snuffy_multiclass.py:130-160).
+
+    Per class, take the top-k_top positions; union them (torch.unique —
+    ascending), call the count r. Then ref_dim = min(r, n_valid − r); the
+    selection is the first ref_dim unique positions plus ref_dim uniform
+    draws from the complement of the *full* union. Returns 2·k_top·? slots...
+    statically: S = 2·k_top·C is an upper bound; we use S = 2·min(k_top·C, N)
+    slots with validity = slot < ref_dim per half.
+
+    Returns (Selection with S slots, ref_dim).
+    """
+    n, c = instance_logits.shape
+    s_half = min(k_top * c, n)
+
+    # Per-class top-k over valid tokens → (k_top, C) indices + validity.
+    def per_class(cl):
+        return top_share_selection(instance_logits[:, cl], valid, min(k_top, n))
+
+    sels = [per_class(cl) for cl in range(c)]
+    flat_idx = jnp.concatenate([s.indices for s in sels])
+    flat_val = jnp.concatenate([s.slot_valid for s in sels])
+
+    uniq, r = _unique_ascending(flat_idx, flat_val, n)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    ref_dim = jnp.minimum(r, n_valid - r).astype(jnp.int32)
+    ref_dim = jnp.maximum(ref_dim, 0)
+
+    slot_ids = jnp.arange(s_half, dtype=jnp.int32)
+    top_idx = uniq[:s_half]
+    top_valid = slot_ids < ref_dim
+
+    # Complement of the FULL union (all r unique picks, not just ref_dim).
+    remainder = valid.at[jnp.where(flat_val, flat_idx, jnp.int32(n))].set(
+        False, mode="drop"
+    )
+    rand = gumbel_without_replacement(key, remainder, s_half)
+    rand_valid = (slot_ids < ref_dim) & rand.slot_valid
+
+    return (
+        Selection(
+            jnp.concatenate([top_idx, rand.indices]),
+            jnp.concatenate([top_valid, rand_valid]),
+        ),
+        ref_dim,
+    )

@@ -1,0 +1,62 @@
+"""The Snuffy "inverted" sparse attention primitive.
+
+Semantics (reference snuffy.py:160-168): with queries q_i for *all* N tokens
+and keys k_j for the Λ selected tokens,
+
+    p[i, j]  = softmax_j( q_i · k_j / √dk )          # rows sum to 1 over Λ
+    out[j]   = Σ_i p[i, j] · v_i                      # transpose-matmul
+
+i.e. every selected token j aggregates the values of all N tokens, weighted
+by how strongly each token i attends *to* j. Note out rows are not convexly
+normalized over i — this asymmetry is load-bearing and easy to get wrong.
+
+Cost is O(N·Λ·dk) instead of O(N²·dk): the long-sequence mechanism that lets
+a 3–10k-patch bag attend on a single chip. On TPU both matmuls are MXU-shaped
+(N×dk @ dk×Λ, then Λ×N @ N×dk); this module is the XLA einsum path, used as
+the correctness oracle for the fused Pallas kernel in
+`snuffy_tpu.ops.pallas_attention`.
+
+Padding contract: `slot_valid` kills dead key slots (−∞ before softmax) and
+`q_valid` zeroes attention rows of padded queries so they contribute nothing
+to any selected token's aggregate — exactly reproducing the unpadded
+reference on the valid sub-bag.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def inverted_sparse_attention(
+    q: jnp.ndarray,           # (h, N, dk)
+    k: jnp.ndarray,           # (h, S, dk)
+    v: jnp.ndarray,           # (h, N, dk)
+    slot_valid: jnp.ndarray,  # (S,) bool — which key slots are live
+    q_valid: jnp.ndarray,     # (N,) bool — which query/value rows are live
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    return_probs: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (out (h, S, dk), p_attn (h, N, S) or None)."""
+    dk = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dk, dtype=jnp.float32))
+    scores = jnp.einsum(
+        "hnd,hsd->hns", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(slot_valid[None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    p = p * q_valid[None, :, None].astype(p.dtype)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum("hns,hnd->hsd", p, v, preferred_element_type=jnp.float32)
+    out = out.astype(v.dtype)
+    return out, (p if return_probs else None)

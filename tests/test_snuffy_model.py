@@ -1,0 +1,166 @@
+"""End-to-end model parity vs the numpy oracle, plus padding invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snuffy_tpu.configs import SnuffyModelConfig
+from snuffy_tpu.models.snuffy import MILNet, init_milnet_params
+from tests.oracle import milnet_oracle
+
+
+def _to_np(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def _apply(cfg, params, feats, mask, seed=0, deterministic=True):
+    model = MILNet(cfg)
+    rngs = {"sparse": jax.random.PRNGKey(seed)}
+    if not deterministic:
+        rngs["dropout"] = jax.random.PRNGKey(seed + 1)
+    (ins, bag, p_attn), inter = model.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(mask),
+        deterministic, rngs=rngs, mutable=["intermediates"],
+    )
+    return ins, bag, p_attn, inter["intermediates"]
+
+
+def _collect_selections(inter, depth):
+    """Valid selected indices per layer, in slot order."""
+    sels = []
+    enc = inter["b_classifier"]["encoder"]
+    for i in range(depth):
+        layer = enc[f"layer_{i}"]
+        idx = np.asarray(layer["sel_indices"][0])
+        sv = np.asarray(layer["sel_valid"][0])
+        sels.append(idx[sv])
+    return sels
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+@pytest.mark.parametrize("rho", [0.0, 0.5])
+def test_milnet_matches_oracle_with_padding(depth, rho):
+    cfg = SnuffyModelConfig(
+        feats_size=32, num_classes=1, num_heads=4, big_lambda=10,
+        random_patch_share=rho, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth,
+    )
+    n_valid, n_pad = 25, 40
+    rng = np.random.default_rng(0)
+    feats = np.zeros((n_pad, cfg.feats_size), np.float32)
+    feats[:n_valid] = rng.normal(size=(n_valid, cfg.feats_size))
+    mask = np.arange(n_pad) < n_valid
+
+    params = init_milnet_params(cfg, seed=1, n_example=n_pad)
+    ins, bag, p_attn, inter = _apply(cfg, params, feats, mask)
+    sels = _collect_selections(inter, depth)
+    for s in sels:
+        assert (s < n_valid).all()
+
+    pnp = _to_np(params)
+    exp_ins, exp_bag, _ = milnet_oracle(
+        feats[:n_valid], pnp, sels, cfg.num_heads, depth=depth
+    )
+    np.testing.assert_allclose(
+        np.asarray(ins)[:n_valid], exp_ins, rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(np.asarray(bag), exp_bag, rtol=3e-4, atol=3e-5)
+
+
+def test_milnet_padding_invariance_deterministic():
+    """With ρ=0 the forward is selection-deterministic: the same bag padded
+    to two different bucket sizes must give identical outputs."""
+    cfg = SnuffyModelConfig(
+        feats_size=16, num_classes=1, num_heads=2, big_lambda=8,
+        random_patch_share=0.0, mlp_multiplier=2, attention_dropout=0.0,
+    )
+    n_valid = 21
+    rng = np.random.default_rng(3)
+    bag = rng.normal(size=(n_valid, cfg.feats_size)).astype(np.float32)
+    params = init_milnet_params(cfg, seed=2, n_example=32)
+
+    outs = []
+    for n_pad in (32, 64):
+        feats = np.zeros((n_pad, cfg.feats_size), np.float32)
+        feats[:n_valid] = bag
+        mask = np.arange(n_pad) < n_valid
+        ins, bag_logit, _, _ = _apply(cfg, params, feats, mask)
+        outs.append((np.asarray(ins)[:n_valid], np.asarray(bag_logit)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-6)
+
+
+def test_milnet_multiclass_matches_oracle():
+    cfg = SnuffyModelConfig(
+        feats_size=32, num_classes=3, num_heads=4, big_lambda=8,
+        random_patch_share=0.5, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=2, multiclass=True,
+    )
+    n_valid, n_pad = 30, 48
+    rng = np.random.default_rng(5)
+    feats = np.zeros((n_pad, cfg.feats_size), np.float32)
+    feats[:n_valid] = rng.normal(size=(n_valid, cfg.feats_size))
+    mask = np.arange(n_pad) < n_valid
+
+    params = init_milnet_params(cfg, seed=4, n_example=n_pad)
+    ins, bag, _, inter = _apply(cfg, params, feats, mask)
+    sels = _collect_selections(inter, cfg.depth)
+    for s in sels:
+        assert (s < n_valid).all()
+        assert len(set(s.tolist())) == len(s)  # no scatter collisions
+
+    pnp = _to_np(params)
+    exp_ins, exp_bag, _ = milnet_oracle(
+        feats[:n_valid], pnp, sels, cfg.num_heads, depth=cfg.depth
+    )
+    np.testing.assert_allclose(
+        np.asarray(ins)[:n_valid], exp_ins, rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(np.asarray(bag), exp_bag, rtol=3e-4, atol=3e-5)
+
+
+def test_milnet_full_bag_no_padding():
+    """Λ ≥ N selects everything; works unpadded too."""
+    cfg = SnuffyModelConfig(
+        feats_size=16, num_classes=1, num_heads=2, big_lambda=64,
+        random_patch_share=0.0, attention_dropout=0.0,
+    )
+    n = 12
+    feats = np.random.default_rng(6).normal(size=(n, 16)).astype(np.float32)
+    params = init_milnet_params(cfg, seed=5, n_example=n)
+    ins, bag, _, inter = _apply(cfg, params, feats, np.ones(n, bool))
+    sels = _collect_selections(inter, 1)
+    assert set(sels[0].tolist()) == set(range(n))
+    pnp = _to_np(params)
+    exp_ins, exp_bag, _ = milnet_oracle(feats, pnp, sels, cfg.num_heads)
+    np.testing.assert_allclose(np.asarray(bag), exp_bag, rtol=3e-4, atol=3e-5)
+
+
+def test_milnet_gradients_finite():
+    cfg = SnuffyModelConfig(
+        feats_size=16, num_classes=1, num_heads=2, big_lambda=8,
+        random_patch_share=0.5, attention_dropout=0.1, encoder_dropout=0.1,
+    )
+    n = 32
+    feats = jnp.asarray(
+        np.random.default_rng(7).normal(size=(n, 16)).astype(np.float32)
+    )
+    mask = jnp.ones(n, bool)
+    params = init_milnet_params(cfg, seed=6, n_example=n)
+    model = MILNet(cfg)
+
+    def loss_fn(p):
+        ins, bag, _ = model.apply(
+            {"params": p}, feats, mask, False,
+            rngs={"sparse": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.sum(bag**2) + jnp.sum(ins**2)
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree.flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # The b_classifier attention weights must receive gradient.
+    g_wq = grads["b_classifier"]["encoder"]["layer_0"]["attn"]["wq"]["kernel"]
+    assert float(jnp.abs(g_wq).sum()) > 0
