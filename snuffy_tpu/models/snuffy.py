@@ -115,11 +115,23 @@ class MultiHeadedAttention(nn.Module):
         if rate > 0.0 and not deterministic:
             drop_rng = self.make_rng("dropout")
 
-        out, p_attn = inverted_sparse_attention(
-            q, k, v, slot_valid, q_valid,
-            dropout_rate=0.0 if deterministic else rate,
-            dropout_rng=drop_rng,
-        )
+        if cfg.use_pallas and drop_rng is None:
+            # Fused flash-style kernel: no (h, N, S) probability tensor in
+            # HBM. Attention-prob dropout needs the materialized p (the
+            # reference's bernoulli-on-p, snuffy.py:167), so the dropout
+            # path stays on the XLA oracle.
+            from snuffy_tpu.ops.pallas_attention import (
+                fused_inverted_sparse_attention,
+            )
+
+            out = fused_inverted_sparse_attention(q, k, v, slot_valid, q_valid)
+            p_attn = None
+        else:
+            out, p_attn = inverted_sparse_attention(
+                q, k, v, slot_valid, q_valid,
+                dropout_rate=0.0 if deterministic else rate,
+                dropout_rng=drop_rng,
+            )
         # (h, S, dk) -> (S, d)
         out = out.transpose(1, 0, 2).reshape(out.shape[1], d)
         return _dense(d, init, "wo")(out), p_attn

@@ -1,0 +1,314 @@
+"""TPU-native ViT family with parallel bottleneck adapters (PEFT).
+
+Covers the reference's embedder model zoo (SURVEY.md §2.7/§2.9):
+  - plain DINO ViT (CLS-token output, reference
+    utils_ssls_cf/vision_transformer_dino.py:212-217)
+  - DINO ViT with parallel adapter (reference
+    dino_adapter/vision_transformer_with_adapter.py:97-127: the adapter
+    branch reads the post-attention sequence and is added alongside the MLP
+    residual: x = x + mlp(norm2(x)) + adapter(x))
+  - `DINOHead` (3-layer MLP → L2-norm → weight-normed linear, reference
+    dino_adapter/vision_transformer_with_adapter.py:279-314)
+
+One implementation, flax.linen, batch-first (B, N, D); attention is a plain
+dense softmax — XLA fuses it onto the MXU; sequence lengths are static
+(fixed crop sizes), so every train/eval shape compiles once.
+
+Adapter semantics (reference dino_adapter/adapter.py:35-95): optional
+pre/post LayerNorm, down(d→bottleneck) → ReLU → dropout → up(→d) → ×scale,
+LoRA-style init: down kaiming-normal(a=√5) ⇒ N(0, 1/(3·fan_in)); up zeros.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def lora_down_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(a=√5) on a (out,in) weight ⇒ std=1/√(3·fan_in).
+    flax Dense kernels are (in, out) → fan_in = shape[0]."""
+    std = 1.0 / math.sqrt(3.0 * shape[0])
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Adapter(nn.Module):
+    d_model: int
+    bottleneck: int = 64
+    dropout: float = 0.1
+    scale: float = 0.1               # ignored if learnable_scale
+    learnable_scale: bool = False
+    layernorm_option: str = "none"   # 'in' | 'out' | 'none'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = x
+        ln = None
+        if self.layernorm_option in ("in", "out"):
+            ln = nn.LayerNorm(name="ln")
+        if self.layernorm_option == "in":
+            h = ln(h)
+        h = nn.Dense(self.bottleneck, kernel_init=lora_down_init,
+                     bias_init=nn.initializers.zeros, name="down")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name="up")(h)
+        if self.learnable_scale:
+            s = self.param("scale", nn.initializers.ones, (1,))
+            h = h * s
+        else:
+            h = h * self.scale
+        if self.layernorm_option == "out":
+            h = ln(h)
+        return h
+
+
+class MHSA(nn.Module):
+    """Dense multi-head self-attention (timm-style fused QKV)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        dk = c // h
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, dk).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (dk ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out, attn
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+def drop_path(x, rate, deterministic, rng):
+    """Stochastic depth on the residual branch (per sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional parallel adapter
+    (reference dino_adapter/vision_transformer_with_adapter.py:97-127)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    use_adapter: bool = False
+    adapter_bottleneck: int = 64
+    adapter_scale: float = 0.1
+    adapter_learnable_scale: bool = False
+    adapter_layernorm_option: str = "none"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+        y, attn = MHSA(self.dim, self.num_heads, self.qkv_bias,
+                       self.attn_drop, self.drop, name="attn")(
+            nn.LayerNorm(name="norm1")(x), deterministic
+        )
+        if return_attention:
+            return attn
+        dp_rng = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        x = x + drop_path(y, self.drop_path_rate, deterministic, dp_rng)
+        adapt_x = 0.0
+        if self.use_adapter:
+            # Parallel branch fed by the post-attention sequence.
+            adapt_x = Adapter(
+                self.dim,
+                self.adapter_bottleneck,
+                dropout=0.1,
+                scale=self.adapter_scale,
+                learnable_scale=self.adapter_learnable_scale,
+                layernorm_option=self.adapter_layernorm_option,
+                name="adaptmlp",
+            )(x, deterministic)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                name="mlp")(nn.LayerNorm(name="norm2")(x), deterministic)
+        dp_rng2 = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        return x + drop_path(y, self.drop_path_rate, deterministic, dp_rng2) + adapt_x
+
+
+class PatchEmbed(nn.Module):
+    patch_size: int = 16
+    embed_dim: int = 768
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C) → (B, N, D)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="proj",
+        )(x)
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+
+def interpolate_pos_encoding(pos_embed: jnp.ndarray, n_patches: int, w: int, h: int,
+                             patch_size: int) -> jnp.ndarray:
+    """Bicubic-resize the grid part of a (1, 1+N0, D) pos embed to the current
+    patch grid (reference dino_adapter/vision_transformer_with_adapter.py:196-216)."""
+    n0 = pos_embed.shape[1] - 1
+    if n_patches == n0:
+        return pos_embed
+    cls_pe, grid_pe = pos_embed[:, :1], pos_embed[:, 1:]
+    dim = pos_embed.shape[-1]
+    g0 = int(round(math.sqrt(n0)))
+    gw, gh = w // patch_size, h // patch_size
+    grid = grid_pe.reshape(1, g0, g0, dim)
+    grid = jax.image.resize(grid, (1, gh, gw, dim), method="bicubic")
+    return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, dim)], axis=1)
+
+
+class VisionTransformer(nn.Module):
+    """ViT backbone; output mode selects the embedder contract:
+    'cls'  — CLS token (DINO, reference utils_ssls_cf/vision_transformer_dino.py:212)
+    'mean' — mean of patch tokens then norm (MAE inference,
+             reference utils_ssls_cf/models_mae_normal.py:155-176)
+    'tokens' — full normed sequence (SSL heads / MAE encoder reuse).
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    use_adapter: bool = False
+    adapter_bottleneck: int = 64
+    adapter_scale: float = 0.1
+    adapter_learnable_scale: bool = False
+    adapter_layernorm_option: str = "none"
+    output: str = "cls"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h_img, w_img, _ = x.shape
+        x = PatchEmbed(self.patch_size, self.embed_dim, name="patch_embed")(x)
+        n = x.shape[1]
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, self.embed_dim),
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, 1 + (224 // self.patch_size) ** 2, self.embed_dim),
+        )
+        pe = interpolate_pos_encoding(pos_embed, n, w_img, h_img, self.patch_size)
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), x],
+                            axis=1) + pe
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            x = Block(
+                self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                self.drop_rate, self.attn_drop_rate, float(dpr[i]),
+                self.use_adapter, self.adapter_bottleneck, self.adapter_scale,
+                self.adapter_learnable_scale, self.adapter_layernorm_option,
+                name=f"blocks_{i}",
+            )(x, deterministic)
+        x = nn.LayerNorm(name="norm")(x)
+        if self.output == "cls":
+            return x[:, 0]
+        if self.output == "mean":
+            return jnp.mean(x[:, 1:], axis=1)
+        return x
+
+
+def vit_tiny(**kw):
+    return VisionTransformer(embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def vit_small(**kw):
+    return VisionTransformer(embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(**kw):
+    return VisionTransformer(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_large(**kw):
+    return VisionTransformer(embed_dim=1024, depth=24, num_heads=16, **kw)
+
+
+class DINOHead(nn.Module):
+    """3-layer MLP → L2-norm → weight-normed linear (reference
+    dino_adapter/vision_transformer_with_adapter.py:279-314)."""
+
+    out_dim: int = 65536
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    use_bn: bool = False
+    norm_last_layer: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.truncated_normal(0.02)
+        for i, feats in enumerate((self.hidden_dim, self.hidden_dim,
+                                   self.bottleneck_dim)):
+            x = nn.Dense(feats, kernel_init=init, name=f"mlp_{i}")(x)
+            if i < 2:
+                x = nn.gelu(x, approximate=False)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        # weight-norm last layer: direction v (trainable), magnitude g
+        # (fixed at 1 when norm_last_layer, trainable otherwise).
+        v = self.param("last_layer_v", init, (self.bottleneck_dim, self.out_dim))
+        if self.norm_last_layer:
+            g = jnp.ones((self.out_dim,), x.dtype)
+        else:
+            g = self.param("last_layer_g", nn.initializers.ones, (self.out_dim,))
+        w = v / (jnp.linalg.norm(v, axis=0, keepdims=True) + 1e-12) * g
+        return x @ w

@@ -1,0 +1,148 @@
+"""Multi-chip MIL training: batched bags under dp × sp × tp shardings.
+
+The reference has no multi-device MIL path at all (reference train.py is
+single-process, single-GPU — SURVEY.md §2.14); this module is the TPU-native
+scale-out design:
+
+  * a batch of B bags (each padded to N_pad) trains with ONE optimizer step
+    whose loss is the mean over bags — the `bag_batch_size > 1` mode of
+    MILTrainConfig. Gradients are averaged across the dp axis by XLA (the
+    DDP all-reduce equivalent, inserted automatically by GSPMD);
+  * the N (token) axis shards over sp for ultra-long bags;
+  * encoder weights shard Megatron-style over tp: QKV/FFN-in kernels by
+    output column, O/FFN-out kernels by input row.
+
+Everything is one `jit` with NamedSharding annotations — no hand-written
+collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from snuffy_tpu.parallel.mesh import (
+    bag_batch_sharding,
+    bag_mask_sharding,
+    label_sharding,
+    replicated,
+)
+from snuffy_tpu.train.losses import mixed_mil_loss
+from snuffy_tpu.train.trainer import MILTrainState, SnuffyTrainer
+
+# Megatron-style column/row parallel rules for the Snuffy encoder.
+# Matched against the trailing flax param path.
+_TP_RULES = (
+    (("attn", "wq", "kernel"), P(None, "tp")),
+    (("attn", "wk", "kernel"), P(None, "tp")),
+    (("attn", "wv", "kernel"), P(None, "tp")),
+    (("attn", "wo", "kernel"), P("tp", None)),
+    (("ff", "w1", "kernel"), P(None, "tp")),
+    (("ff", "w1", "bias"), P("tp")),
+    (("ff", "w2", "kernel"), P("tp", None)),
+)
+
+
+def _spec_for_path(path: Tuple[str, ...]) -> P:
+    for suffix, spec in _TP_RULES:
+        if len(path) >= len(suffix) and tuple(path[-len(suffix):]) == suffix:
+            return spec
+    return P()
+
+
+def make_param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding pytree for the milnet params (tp where it pays off,
+    replicated elsewhere)."""
+
+    def one(path, leaf):
+        names = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        return NamedSharding(mesh, _spec_for_path(names))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def make_state_shardings(state: MILTrainState, mesh: Mesh):
+    param_sh = make_param_shardings(state.params, mesh)
+    # Adam moments mirror the param layout; everything else replicated.
+    opt_sh = jax.tree_util.tree_map(
+        lambda leaf: replicated(mesh), state.opt_state
+    )
+    rep = replicated(mesh)
+    return MILTrainState(param_sh, rep, opt_sh, rep)
+
+
+def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
+    """jitted (state, feats (B,N,D), masks (B,N), labels (B,C), lr, rng) →
+    (state, mean_loss, bag_scores (B,C)).
+
+    One optimizer step per batch of bags; grads averaged over bags (and thus
+    psum'd over dp by XLA).
+    """
+
+    def loss_fn(group, feats_b, masks_b, labels_b, rng):
+        def one_bag(feats, mask, label, key):
+            k1, k2 = jax.random.split(key)
+            ins_logits, bag_logits, _ = trainer.model.apply(
+                {"params": group["model"]},
+                feats,
+                mask,
+                False,
+                rngs={"sparse": k1, "dropout": k2},
+            )
+            pw = (
+                None
+                if trainer.pos_weight is None
+                else jnp.asarray(trainer.pos_weight)
+            )
+            return mixed_mil_loss(
+                ins_logits, bag_logits, label, mask, group["w"], pw
+            )
+
+        keys = jax.random.split(rng, feats_b.shape[0])
+        losses, scores = jax.vmap(one_bag)(feats_b, masks_b, labels_b, keys)
+        return jnp.mean(losses), scores
+
+    def step(state: MILTrainState, feats_b, masks_b, labels_b, lr, rng):
+        group = {"model": state.params, "w": state.w}
+        (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            group, feats_b, masks_b, labels_b, rng
+        )
+        updates, opt_state = trainer.tx.update(grads, state.opt_state, group)
+        mult = trainer.cfg.optim.single_weight_lr_multiplier
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, group["model"], updates["model"]
+        )
+        new_w = jnp.clip(group["w"] - lr * mult * updates["w"], 0.0, 1.0)
+        return (
+            MILTrainState(new_params, new_w, opt_state, state.step + 1),
+            loss,
+            scores,
+        )
+
+    # State shardings are inherited from the arrays' placement (shard_state);
+    # only the data shardings are pinned here.
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,
+            bag_batch_sharding(mesh),
+            bag_mask_sharding(mesh),
+            label_sharding(mesh),
+            None,
+            None,
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def shard_state(state: MILTrainState, mesh: Mesh) -> MILTrainState:
+    """Place a host-built train state onto the mesh."""
+    sh = make_state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, sh
+    )

@@ -1,0 +1,284 @@
+"""MIL training runtime: jitted per-bag optimizer steps, scanned per bucket.
+
+The reference trains with one optimizer step per bag, bags visited in a
+shuffled order (reference train.py:223-293). A literal port would launch one
+tiny dispatch per bag; here the epoch is restructured TPU-first:
+
+  * bags are bucketed to static lengths (data/bucketing.py) and stacked into
+    (B, N_pad, D) arrays per bucket;
+  * one `lax.scan` per bucket performs the B sequential optimizer steps in a
+    single XLA program with donated model/optimizer state — identical
+    serial-SGD semantics, ~zero dispatch overhead;
+  * bucket visit order is shuffled each epoch; within a bucket the bag order
+    is shuffled too. (The reference's global shuffle interleaves sizes; the
+    grouped shuffle is the static-shape equivalent — parity is statistical,
+    SURVEY.md §7 "Nondeterminism parity".)
+
+Optimizer semantics (reference train.py:165-180, 809-826):
+  * adam  = torch Adam (L2 weight decay folded into the gradient);
+  * adamw = torch AdamW (decoupled weight decay);
+  * betas/eps/weight_decay apply to every parameter group, including the
+    learnable loss-mixing scalar `w`;
+  * `w` gets lr · single_weight_lr_multiplier and is clamped to [0,1] after
+    each step (train.py:818-826, 852-854); frozen unless soft_average;
+  * grad-clip (global norm) applies to the milnet parameters only
+    (train.py:468-470 clips `self.milnet.parameters()`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig, SnuffyModelConfig
+from snuffy_tpu.models.snuffy import MILNet, build_milnet
+from snuffy_tpu.train.losses import mixed_mil_loss
+
+
+class MILTrainState(NamedTuple):
+    params: Any            # milnet parameter pytree
+    w: jnp.ndarray         # single_weight_parameter, scalar in [0,1]
+    opt_state: Any
+    step: jnp.ndarray      # global step counter
+
+
+def _direction_transform(optim: OptimizerConfig) -> optax.GradientTransformation:
+    """lr-less update direction for one parameter group.
+
+    Returns the positive 'descent direction' (caller applies −lr·mult).
+    torch-Adam folds L2 into the grad before the moments; torch-AdamW decays
+    after the moments (decoupled).
+    """
+    b1, b2 = optim.betas
+    adam = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8)
+    if optim.optimizer == "adam":
+        return optax.chain(optax.add_decayed_weights(optim.weight_decay), adam)
+    if optim.optimizer == "adamw":
+        return optax.chain(adam, optax.add_decayed_weights(optim.weight_decay))
+    raise KeyError(
+        f"Optimizer not found. Given: {optim.optimizer}, Have: ['adam', 'adamw']"
+    )
+
+
+def make_optimizer(optim: OptimizerConfig, soft_average: bool) -> optax.GradientTransformation:
+    """Two-group transform over {'model': ..., 'w': ...} pytrees."""
+    model_tx = _direction_transform(optim)
+    if optim.clip_grad is not None:
+        model_tx = optax.chain(optax.clip_by_global_norm(optim.clip_grad), model_tx)
+    w_tx = _direction_transform(optim) if soft_average else optax.set_to_zero()
+    return optax.multi_transform(
+        {"model": model_tx, "w": w_tx},
+        param_labels={"model": "model", "w": "w"},
+    )
+
+
+class SnuffyTrainer:
+    """Owns the model/optimizer and the jitted step/epoch functions
+    (counterpart of reference train.py Trainer/SmallWeightTrainer/Snuffy)."""
+
+    def __init__(self, cfg: MILTrainConfig):
+        self.cfg = cfg
+        self.model: MILNet = build_milnet(cfg.model)
+        self.tx = make_optimizer(cfg.optim, cfg.soft_average)
+        self.pos_weight: Optional[float] = None  # set for MIL datasets
+        self._epoch_fns: Dict[Tuple[int, bool], Any] = {}
+        self._eval_fns: Dict[int, Any] = {}
+
+    # ---------------------------------------------------------------- state
+
+    def init_state(self, seed: int, example_n: int = 64) -> MILTrainState:
+        k_param, k_sparse = jax.random.split(jax.random.PRNGKey(seed))
+        feats = jnp.zeros((example_n, self.cfg.model.feats_size), jnp.float32)
+        mask = jnp.ones((example_n,), bool)
+        variables = self.model.init(
+            {"params": k_param, "sparse": k_sparse}, feats, mask, True
+        )
+        params = variables["params"]
+        w = jnp.asarray(0.5, jnp.float32)
+        opt_state = self.tx.init({"model": params, "w": w})
+        return MILTrainState(params, w, opt_state, jnp.asarray(0, jnp.int32))
+
+    # ----------------------------------------------------------- single bag
+
+    def _bag_loss_fn(self, group, feats, mask, label, rngs, deterministic):
+        ins_logits, bag_logits, _ = self.model.apply(
+            {"params": group["model"]},
+            feats,
+            mask,
+            deterministic,
+            rngs=rngs,
+        )
+        pw = None if self.pos_weight is None else jnp.asarray(self.pos_weight)
+        loss, bag_score = mixed_mil_loss(
+            ins_logits, bag_logits, label, mask, group["w"], pw
+        )
+        return loss, (bag_score, jax.nn.sigmoid(ins_logits))
+
+    def _train_step(self, state: MILTrainState, feats, mask, label, lr, rng):
+        k_sparse, k_drop = jax.random.split(rng)
+        rngs = {"sparse": k_sparse, "dropout": k_drop}
+        group = {"model": state.params, "w": state.w}
+        grad_fn = jax.value_and_grad(self._bag_loss_fn, has_aux=True)
+        (loss, (bag_score, ins_score)), grads = grad_fn(
+            group, feats, mask, label, rngs, False
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, group)
+        mult = self.cfg.optim.single_weight_lr_multiplier
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, group["model"], updates["model"]
+        )
+        new_w = jnp.clip(group["w"] - lr * mult * updates["w"], 0.0, 1.0)
+        return (
+            MILTrainState(new_params, new_w, opt_state, state.step + 1),
+            loss,
+            bag_score,
+            ins_score,
+        )
+
+    # -------------------------------------------------------- bucket epochs
+
+    def _scan_bucket(self, state, feats_b, masks_b, labels_b, lr, rng):
+        """One optimizer step per bag over a (B, N_pad, D) stack, serially."""
+
+        def body(carry, xs):
+            st, key = carry
+            feats, mask, label = xs
+            key, sub = jax.random.split(key)
+            st, loss, bag_score, ins_score = self._train_step(
+                st, feats, mask, label, lr, sub
+            )
+            return (st, key), (loss, bag_score, ins_score)
+
+        (state, _), (losses, scores, ins_scores) = jax.lax.scan(
+            body, (state, rng), (feats_b, masks_b, labels_b)
+        )
+        return state, losses, scores, ins_scores
+
+    def train_bucket_fn(self, n_pad: int):
+        """Compiled serial-step scan for one bucket length (cached)."""
+        key = (n_pad, True)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = jax.jit(self._scan_bucket, donate_argnums=(0,))
+        return self._epoch_fns[key]
+
+    def eval_bucket_fn(self, n_pad: int):
+        """Batched deterministic forward for one bucket length (cached).
+
+        Selection randomness still draws from the 'sparse' stream (the
+        reference samples the random share at eval too, snuffy.py:141).
+        """
+        if n_pad not in self._eval_fns:
+
+            def eval_batch(group, feats_b, masks_b, labels_b, rng):
+                def one(feats, mask, label, key):
+                    ins_logits, bag_logits, _ = self.model.apply(
+                        {"params": group["model"]},
+                        feats,
+                        mask,
+                        True,
+                        rngs={"sparse": key},
+                    )
+                    pw = (
+                        None
+                        if self.pos_weight is None
+                        else jnp.asarray(self.pos_weight)
+                    )
+                    loss, bag_score = mixed_mil_loss(
+                        ins_logits, bag_logits, label, mask, group["w"], pw
+                    )
+                    return loss, bag_score, jax.nn.sigmoid(ins_logits)
+
+                keys = jax.random.split(rng, feats_b.shape[0])
+                return jax.vmap(one)(feats_b, masks_b, labels_b, keys)
+
+            self._eval_fns[n_pad] = jax.jit(eval_batch)
+        return self._eval_fns[n_pad]
+
+    # ------------------------------------------------------------ host API
+
+    def run_train_epoch(
+        self,
+        state: MILTrainState,
+        bucketed: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+        lr: float,
+        rng: np.random.Generator,
+        seed: int,
+    ):
+        """bucketed: {n_pad: (feats (B,N,D), masks (B,N), labels (B,C),
+        orig_index (B,))}. Returns (state, losses, bag_scores, ins_scores,
+        order) aligned to the original bag indexing."""
+        order = []
+        losses, scores, ins_list = [], [], []
+        bucket_keys = list(bucketed.keys())
+        rng.shuffle(bucket_keys)
+        for n_pad in bucket_keys:
+            feats_b, masks_b, labels_b, idx = bucketed[n_pad]
+            perm = rng.permutation(len(idx))
+            feats_b, masks_b, labels_b, idx = (
+                feats_b[perm],
+                masks_b[perm],
+                labels_b[perm],
+                idx[perm],
+            )
+            fn = self.train_bucket_fn(n_pad)
+            key = jax.random.PRNGKey(int(rng.integers(2**31)) ^ seed)
+            state, l, s, ins = fn(
+                state,
+                jnp.asarray(feats_b),
+                jnp.asarray(masks_b),
+                jnp.asarray(labels_b),
+                jnp.asarray(lr, jnp.float32),
+                key,
+            )
+            losses.append(np.asarray(l))
+            scores.append(np.asarray(s))
+            # Keep only valid instance rows, per bag (host-side ragged).
+            ins = np.asarray(ins)
+            for b in range(ins.shape[0]):
+                n_valid = int(masks_b[b].sum())
+                ins_list.append(ins[b, :n_valid])
+            order.extend(idx.tolist())
+        return (
+            state,
+            np.concatenate(losses),
+            np.concatenate(scores),
+            ins_list,
+            np.asarray(order),
+        )
+
+    def run_eval_epoch(
+        self,
+        state: MILTrainState,
+        bucketed: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+        seed: int,
+    ):
+        order, losses, scores, ins_list = [], [], [], []
+        for n_pad in sorted(bucketed.keys()):
+            feats_b, masks_b, labels_b, idx = bucketed[n_pad]
+            fn = self.eval_bucket_fn(n_pad)
+            group = {"model": state.params, "w": state.w}
+            l, s, ins = fn(
+                group,
+                jnp.asarray(feats_b),
+                jnp.asarray(masks_b),
+                jnp.asarray(labels_b),
+                jax.random.PRNGKey(seed + n_pad),
+            )
+            losses.append(np.asarray(l))
+            scores.append(np.asarray(s))
+            ins = np.asarray(ins)
+            for b in range(ins.shape[0]):
+                n_valid = int(masks_b[b].sum())
+                ins_list.append(ins[b, :n_valid])
+            order.extend(np.asarray(idx).tolist())
+        return (
+            np.concatenate(losses),
+            np.concatenate(scores),
+            ins_list,
+            np.asarray(order),
+        )

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the container's sitecustomize imports jax
+# at interpreter start (before this conftest), so jax's config snapshotted
+# JAX_PLATFORMS from the outer environment. Force the CPU platform through
+# the live config instead.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against float64-ish numpy oracles; the backend default
 # (bf16-class matmul inputs) is a deliberate runtime speed choice, not a
 # correctness one.

@@ -1,0 +1,91 @@
+"""Multi-chip sharding validation on the 8-device virtual CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8).
+
+The reference's only distributed path is single-node DDP (SURVEY.md §2.14);
+here the dp × sp × tp sharded batched training step must compile and run,
+and its loss must match the unsharded computation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snuffy_tpu.parallel.mesh import MeshSpec, factor_devices, make_mesh
+
+
+def test_factor_devices():
+    assert factor_devices(1) == MeshSpec(1, 1, 1)
+    s8 = factor_devices(8)
+    assert s8.n_devices == 8
+    assert s8.sp > 1 and s8.tp > 1  # real multi-axis sharding at 8 devices
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(factor_devices(8))
+    assert mesh.axis_names == ("dp", "sp", "tp")
+    assert mesh.devices.size == 8
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device_loss():
+    from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig, SnuffyModelConfig
+    from snuffy_tpu.parallel.sharded_train import (
+        make_sharded_batch_train_step,
+        shard_state,
+    )
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(
+            feats_size=32,
+            num_heads=2,
+            big_lambda=8,
+            random_patch_share=0.0,  # deterministic selection → comparable
+            attention_dropout=0.0,
+            encoder_dropout=0.0,
+        ),
+        optim=OptimizerConfig(optimizer="adamw", lr=1e-3),
+        soft_average=False,
+    )
+    trainer = SnuffyTrainer(cfg)
+
+    rng = np.random.default_rng(0)
+    batch, n_pad = 4, 128
+    feats = jnp.asarray(rng.standard_normal((batch, n_pad, 32)), jnp.float32)
+    masks = jnp.asarray(np.arange(n_pad)[None, :] < 100).repeat(batch, axis=0)
+    labels = jnp.asarray(rng.integers(0, 2, (batch, 1)), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(factor_devices(8))
+    with mesh:
+        state = shard_state(trainer.init_state(0, example_n=n_pad), mesh)
+        step = make_sharded_batch_train_step(trainer, mesh)
+        _, loss_sharded, _ = step(state, feats, masks, labels, lr, key)
+
+    # Unsharded single-device equivalent (same rng stream, same math).
+    trainer2 = SnuffyTrainer(cfg)
+    state2 = trainer2.init_state(0, example_n=n_pad)
+    from snuffy_tpu.train.losses import mixed_mil_loss
+
+    def loss_fn(params, w):
+        def one(f, m, l, k):
+            k1, k2 = jax.random.split(k)
+            ins, bag, _ = trainer2.model.apply(
+                {"params": params}, f, m, False, rngs={"sparse": k1, "dropout": k2}
+            )
+            return mixed_mil_loss(ins, bag, l, m, w)[0]
+
+        keys = jax.random.split(key, batch)
+        return jnp.mean(jax.vmap(one)(feats, masks, labels, keys))
+
+    loss_single = loss_fn(state2.params, state2.w)
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_single), rtol=2e-4
+    )

@@ -1,0 +1,157 @@
+"""End-to-end MIL training on synthetic separable data (the CPU-runnable
+smoke slice, standing in for the reference's MUSK-v1 recipe,
+reference README.md:685-696) plus unit checks of the loss/optimizer
+semantics (reference train.py:828-854)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig, SnuffyModelConfig
+from snuffy_tpu.train.losses import bce_with_logits, mixed_mil_loss
+from snuffy_tpu.train.runner import Runner, bucket_bags
+from snuffy_tpu.train.schedules import cosine_annealing
+from snuffy_tpu.train.trainer import SnuffyTrainer
+from snuffy_tpu.utils.logging import MetricsLogger
+
+
+def make_synthetic_mil(rng, num_bags=30, d=32, n_lo=20, n_hi=60, direction=None):
+    """Positive bags contain a few instances from a shifted Gaussian.
+
+    `direction` must be shared across splits for the task to generalize.
+    """
+    labels, feats = [], []
+    if direction is None:
+        direction = rng.standard_normal(d)
+    direction = direction / np.linalg.norm(direction)
+    for i in range(num_bags):
+        n = int(rng.integers(n_lo, n_hi))
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        y = i % 2
+        if y:
+            k = max(2, n // 5)
+            x[:k] += 3.0 * direction
+        labels.append(np.array([float(y)], np.float32))
+        feats.append(x)
+    return labels, feats, None, None
+
+
+def tiny_cfg(**kw):
+    model = SnuffyModelConfig(
+        feats_size=32,
+        num_classes=1,
+        num_heads=2,
+        big_lambda=8,
+        random_patch_share=0.25,
+        mlp_multiplier=2,
+        encoder_dropout=0.0,
+        attention_dropout=0.0,
+        depth=1,
+    )
+    return MILTrainConfig(
+        model=model,
+        optim=OptimizerConfig(optimizer="adamw", lr=2e-3, betas=(0.9, 0.999)),
+        num_epochs=kw.pop("num_epochs", 8),
+        dataset="musk1",  # MIL dataset → pos_weight path
+        save_path=kw.pop("save_path", "/tmp/snuffy_tpu_test_runs"),
+        seed=3,
+        **kw,
+    )
+
+
+def test_bce_matches_manual():
+    logits = jnp.array([0.5, -1.2, 3.0])
+    targets = jnp.array([1.0, 0.0, 1.0])
+    pw = jnp.array(2.0)
+    p = jax.nn.sigmoid(logits)
+    expected = -np.mean(
+        np.asarray(pw * targets * jnp.log(p) + (1 - targets) * jnp.log(1 - p))
+    )
+    got = float(bce_with_logits(logits, targets, pw))
+    assert abs(got - expected) < 1e-4
+
+
+def test_mixed_loss_masks_padding():
+    ins = jnp.array([[5.0], [1.0], [99.0]])  # last row is padding
+    mask = jnp.array([True, True, False])
+    bag_logits = jnp.array([0.3])
+    label = jnp.array([1.0])
+    loss, score = mixed_mil_loss(ins, bag_logits, label, mask, jnp.asarray(0.5))
+    # max over valid instances is 5.0, not 99.0
+    expected_max = 5.0
+    expected_loss = 0.5 * float(bce_with_logits(bag_logits, label)) + 0.5 * float(
+        bce_with_logits(jnp.array([expected_max]), label)
+    )
+    assert abs(float(loss) - expected_loss) < 1e-5
+    expected_score = 0.5 * jax.nn.sigmoid(expected_max) + 0.5 * jax.nn.sigmoid(0.3)
+    assert abs(float(score[0]) - float(expected_score)) < 1e-5
+
+
+def test_w_frozen_without_soft_average():
+    cfg = tiny_cfg(soft_average=False, num_epochs=1)
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0, example_n=16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 16, 32)), jnp.float32)
+    masks = jnp.ones((2, 16), bool)
+    labels = jnp.ones((2, 1), jnp.float32)
+    fn = trainer.train_bucket_fn(16)
+    state2, *_ = fn(
+        state, feats, masks, labels, jnp.asarray(1e-3), jax.random.PRNGKey(0)
+    )
+    assert float(state2.w) == 0.5
+
+
+def test_w_learns_and_clamps_with_soft_average():
+    cfg = tiny_cfg(soft_average=True, num_epochs=1)
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0, example_n=16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((6, 16, 32)), jnp.float32)
+    masks = jnp.ones((6, 16), bool)
+    labels = jnp.ones((6, 1), jnp.float32)
+    fn = trainer.train_bucket_fn(16)
+    state2, *_ = fn(
+        state, feats, masks, labels, jnp.asarray(1e-2), jax.random.PRNGKey(0)
+    )
+    w = float(state2.w)
+    assert w != 0.5
+    assert 0.0 <= w <= 1.0
+
+
+def test_bucket_bags_groups_and_masks():
+    rng = np.random.default_rng(0)
+    labels, feats, _, _ = make_synthetic_mil(rng, num_bags=10)
+    bucketed = bucket_bags(labels, feats, rng=rng)
+    total = 0
+    for n_pad, (f, m, l, idx) in bucketed.items():
+        assert f.shape[1] == n_pad and m.shape[1] == n_pad
+        # strict bucket: at least one pad row per bag
+        assert (m.sum(axis=1) < n_pad).all()
+        total += len(idx)
+    assert total == 10
+
+
+def test_end_to_end_training_learns():
+    rng = np.random.default_rng(42)
+    direction = rng.standard_normal(32)
+    train = make_synthetic_mil(rng, num_bags=40, direction=direction)
+    valid = make_synthetic_mil(rng, num_bags=20, direction=direction)
+    test = make_synthetic_mil(rng, num_bags=20, direction=direction)
+
+    cfg = tiny_cfg(num_epochs=10, soft_average=False)
+    trainer = SnuffyTrainer(cfg)
+    runner = Runner(cfg, trainer, train, valid, test, MetricsLogger())
+    schedule = cosine_annealing(
+        cfg.optim.lr, cfg.num_epochs, cfg.optim.eta_min
+    )
+    summary = runner.run(schedule)
+
+    first_loss = summary["history"][0]["epoch_train_loss"]
+    last_loss = summary["history"][-1]["epoch_train_loss"]
+    assert last_loss < first_loss
+    assert summary["best_valid_auc"] > 0.75
+    assert "test_best" in summary and "test_last" in summary
+    test_auc = summary["test_best"]["epoch_test_best_aucs"][0]
+    assert test_auc > 0.7
