@@ -1,0 +1,97 @@
+"""The `train.py` CLI end-to-end on a synthetic MUSK-format dataset —
+the reference's own smoke path (reference README.md:685-696): SVM file →
+admissible-shuffle pickle → cross-validated MIL training."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_synthetic_svm(path, num_bags=24, d=166, rng=None):
+    """`ID:BagID:ClassID f:v ...` rows; positives carry a shifted direction."""
+    rng = rng or np.random.default_rng(0)
+    direction = rng.standard_normal(d)
+    direction /= np.linalg.norm(direction)
+    lines = ["header"]
+    iid = 0
+    for b in range(num_bags):
+        y = b % 2
+        n = int(rng.integers(4, 12))
+        for i in range(n):
+            vec = rng.standard_normal(d) * 0.5
+            if y and i < max(2, n // 3):
+                vec += 2.5 * direction
+            feats = " ".join(f"{j + 1}:{vec[j]:.5f}" for j in range(d))
+            lines.append(f"{iid}:{b}:{y} {feats}")
+            iid += 1
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_train_cli_musk1(tmp_path, monkeypatch):
+    from snuffy_tpu.data.mil_pickle import build_mil_pickle
+
+    base = tmp_path / "datasets" / "mil_dataset"
+    write_synthetic_svm(str(base / "Musk" / "musk1norm.svm"))
+    build_mil_pickle("musk1", num_folds=4, valid_ratio=0.25,
+                     datasets_base_path=str(base),
+                     rng=np.random.default_rng(1))
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    # Patch the MIL data path to the tmp dataset dir.
+    orig = train_cli.load_datasets
+
+    def load(cfg):
+        from snuffy_tpu.data.mil_pickle import load_mil_data
+
+        return load_mil_data(
+            cfg.dataset, cfg.model.feats_size, cfg.cv_num_folds,
+            cfg.cv_current_fold, cfg.cv_valid_ratio,
+            mil_datasets_base_path=str(base),
+        )
+
+    monkeypatch.setattr(train_cli, "load_datasets", load)
+
+    summary = train_cli.main([
+        "--dataset=musk1", "--arch=snuffy", "--num_heads=2",
+        "--big_lambda=8", "--random_patch_share=0.3",
+        "--num_epochs=3", "--lr=1e-3", "--optimizer=adamw",
+        "--cv_num_folds=4", "--cv_valid_ratio=0.25",
+        "--soft_average=1", "--use_mp=0", "--use_pallas=0",
+    ])
+    assert summary["best_epoch"] >= 1
+    assert "test_best" in summary
+    # feats_size forced to 166 for musk1 (reference train.py:992-999)
+    run_dir = os.path.join("runs", "musk1")
+    assert os.path.isdir(run_dir) and len(os.listdir(run_dir)) == 1
+
+
+def test_mil_pickle_roundtrip(tmp_path):
+    from snuffy_tpu.data.mil_pickle import (
+        build_mil_pickle,
+        cross_validation_set,
+        load_mil_data,
+    )
+
+    base = tmp_path / "mil"
+    write_synthetic_svm(str(base / "Musk" / "musk1norm.svm"), num_bags=16)
+    out = build_mil_pickle("musk1", num_folds=4, valid_ratio=0.25,
+                           datasets_base_path=str(base),
+                           rng=np.random.default_rng(2))
+    assert out.endswith("musk1norm_4folds_0.25split.pkl")
+    train, valid, test = load_mil_data(
+        "musk1", 166, 4, 0, 0.25, mil_datasets_base_path=str(base)
+    )
+    # every split non-empty, features are (N,166), labels in {0,1}
+    for split in (train, valid, test):
+        labels, feats, _, _ = split
+        assert len(labels) > 0
+        assert all(f.shape[1] == 166 for f in feats)
+        assert set(float(l[0]) for l in labels) <= {0.0, 1.0}
