@@ -1,0 +1,240 @@
+"""PyTorch `.pth` checkpoint → flax parameter trees.
+
+The reference loads published DINO/MAE/SimCLR checkpoints with per-embedder
+key remapping (reference compute_feats.py:449-518: prefix stripping,
+`check_layers` shape audits, positional key re-zipping for the DSMIL-SimCLR
+weights). Here the same remappings are implemented as pure functions
+torch-state-dict → nested flax dicts.
+
+Weight layout conversions (torch → flax):
+  Linear  (out, in)        → kernel (in, out)           [transpose]
+  Conv2d  (out, in, kh, kw)→ kernel (kh, kw, in, out)   [transpose 2,3,1,0]
+  LayerNorm weight/bias    → scale/bias
+  BatchNorm weight/bias/running_mean/running_var → scale/bias/mean/var
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load on CPU → {key: np.ndarray}. Unwraps common containers
+    ('state_dict', 'model', 'teacher', 'student') like the reference
+    loaders do (compute_feats.py:449-483)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for container in ("state_dict", "model", "teacher"):
+        if isinstance(ckpt, dict) and container in ckpt and isinstance(
+            ckpt[container], dict
+        ):
+            ckpt = ckpt[container]
+            break
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in ckpt.items()
+        if hasattr(v, "detach")
+    }
+
+
+def strip_prefixes(sd: Dict[str, np.ndarray], prefixes=("module.", "backbone.")):
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(tree, flax_path, sd, torch_key):
+    _set(tree, flax_path + ("kernel",), sd[f"{torch_key}.weight"].T)
+    if f"{torch_key}.bias" in sd:
+        _set(tree, flax_path + ("bias",), sd[f"{torch_key}.bias"])
+
+
+def _conv(tree, flax_path, sd, torch_key):
+    _set(tree, flax_path + ("kernel",),
+         sd[f"{torch_key}.weight"].transpose(2, 3, 1, 0))
+    if f"{torch_key}.bias" in sd:
+        _set(tree, flax_path + ("bias",), sd[f"{torch_key}.bias"])
+
+
+def _layernorm(tree, flax_path, sd, torch_key):
+    _set(tree, flax_path + ("scale",), sd[f"{torch_key}.weight"])
+    _set(tree, flax_path + ("bias",), sd[f"{torch_key}.bias"])
+
+
+def _maybe_adapter(tree, block_path, sd, torch_prefix):
+    if f"{torch_prefix}.adaptmlp.down_proj.weight" not in sd:
+        return
+    ad = block_path + ("adaptmlp",)
+    _linear(tree, ad + ("down",), sd, f"{torch_prefix}.adaptmlp.down_proj")
+    _linear(tree, ad + ("up",), sd, f"{torch_prefix}.adaptmlp.up_proj")
+    if f"{torch_prefix}.adaptmlp.scale" in sd:
+        _set(tree, ad + ("scale",), sd[f"{torch_prefix}.adaptmlp.scale"])
+    if f"{torch_prefix}.adaptmlp.adapter_layer_norm_before.weight" in sd:
+        _layernorm(tree, ad + ("ln",), sd,
+                   f"{torch_prefix}.adaptmlp.adapter_layer_norm_before")
+
+
+def _vit_block(tree, sd, torch_prefix: str, flax_name: str):
+    bp = (flax_name,)
+    _layernorm(tree, bp + ("norm1",), sd, f"{torch_prefix}.norm1")
+    _linear(tree, bp + ("attn", "qkv"), sd, f"{torch_prefix}.attn.qkv")
+    _linear(tree, bp + ("attn", "proj"), sd, f"{torch_prefix}.attn.proj")
+    _layernorm(tree, bp + ("norm2",), sd, f"{torch_prefix}.norm2")
+    _linear(tree, bp + ("mlp", "fc1"), sd, f"{torch_prefix}.mlp.fc1")
+    _linear(tree, bp + ("mlp", "fc2"), sd, f"{torch_prefix}.mlp.fc2")
+    _maybe_adapter(tree, bp, sd, torch_prefix)
+
+
+def import_vit(sd: Dict[str, np.ndarray]) -> dict:
+    """DINO-style ViT (± adapter) → params for models.vit.VisionTransformer."""
+    sd = strip_prefixes(sd)
+    tree: dict = {}
+    _set(tree, ("cls_token",), sd["cls_token"])
+    _set(tree, ("pos_embed",), sd["pos_embed"])
+    _conv(tree, ("patch_embed", "proj"), sd, "patch_embed.proj")
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    for i in range(depth):
+        _vit_block(tree, sd, f"blocks.{i}", f"blocks_{i}")
+    if "norm.weight" in sd:
+        _layernorm(tree, ("norm",), sd, "norm")
+    return tree
+
+
+def import_mae(sd: Dict[str, np.ndarray]) -> dict:
+    """MAE (± adapter) → params for models.mae.MaskedAutoencoderViT.
+    Decoder keys are imported when present; feature extraction only needs
+    the encoder (the reference deletes the decoder, compute_feats.py:344)."""
+    sd = strip_prefixes(sd)
+    tree: dict = {}
+    _set(tree, ("cls_token",), sd["cls_token"])
+    _conv(tree, ("patch_embed", "proj"), sd, "patch_embed.proj")
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    for i in range(depth):
+        _vit_block(tree, sd, f"blocks.{i}", f"blocks_{i}")
+    _layernorm(tree, ("norm",), sd, "norm")
+    if "mask_token" in sd:
+        _set(tree, ("mask_token",), sd["mask_token"])
+    if "decoder_embed.weight" in sd:
+        _linear(tree, ("decoder_embed",), sd, "decoder_embed")
+        dec_depth = 1 + max(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"decoder_blocks\.(\d+)\.", k))
+        )
+        for i in range(dec_depth):
+            _vit_block(tree, sd, f"decoder_blocks.{i}", f"decoder_blocks_{i}")
+        _layernorm(tree, ("decoder_norm",), sd, "decoder_norm")
+        _linear(tree, ("decoder_pred",), sd, "decoder_pred")
+    return tree
+
+
+def import_resnet18(sd: Dict[str, np.ndarray], norm: str = "instance") -> dict:
+    """torchvision resnet18 state dict → params for models.resnet.ResNet18.
+
+    With InstanceNorm there are no norm parameters; with BatchNorm the
+    running stats become FrozenBatchNorm params.
+    """
+    sd = strip_prefixes(sd)
+    tree: dict = {}
+
+    def bn(flax_path, torch_key):
+        if f"{torch_key}.weight" not in sd:
+            return
+        _set(tree, flax_path + ("scale",), sd[f"{torch_key}.weight"])
+        _set(tree, flax_path + ("bias",), sd[f"{torch_key}.bias"])
+        _set(tree, flax_path + ("mean",), sd[f"{torch_key}.running_mean"])
+        _set(tree, flax_path + ("var",), sd[f"{torch_key}.running_var"])
+
+    _conv(tree, ("conv1",), sd, "conv1")
+    bn(("bn1",), "bn1")
+    for li in range(1, 5):
+        for bi in range(2):
+            tp = f"layer{li}.{bi}"
+            fp = (f"layer{li}_{bi}",)
+            _conv(tree, fp + ("conv1",), sd, f"{tp}.conv1")
+            _conv(tree, fp + ("conv2",), sd, f"{tp}.conv2")
+            bn(fp + ("bn1",), f"{tp}.bn1")
+            bn(fp + ("bn2",), f"{tp}.bn2")
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv(tree, fp + ("downsample_conv",), sd, f"{tp}.downsample.0")
+                bn(fp + ("downsample_bn",), f"{tp}.downsample.1")
+    return tree
+
+
+def positional_rezip(sd: Dict[str, np.ndarray],
+                     template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """DSMIL-SimCLR weights ship under foreign key names; the reference
+    re-zips values onto the target model's key order positionally
+    (compute_feats.py:493-518). Shapes must match pairwise."""
+    values = list(sd.values())
+    keys = list(template.keys())
+    if len(values) != len(keys):
+        raise ValueError(
+            f"positional rezip needs equal counts: {len(values)} vs {len(keys)}"
+        )
+    out = {}
+    for k, v in zip(keys, values):
+        if tuple(template[k].shape) != tuple(v.shape):
+            raise ValueError(
+                f"shape mismatch at {k}: {template[k].shape} vs {v.shape}"
+            )
+        out[k] = v
+    return out
+
+
+def check_layers(imported: dict, target_template: dict) -> Tuple[list, list]:
+    """Shape audit like the reference's check_layers tables
+    (reference utils.py:352-422): returns (matched, mismatched) leaf paths."""
+    import jax
+
+    matched, mismatched = [], []
+
+    flat_imp = {
+        "/".join(str(p.key) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(imported)[0]
+    }
+    flat_tgt = {
+        "/".join(str(p.key) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(target_template)[0]
+    }
+    for k, v in flat_tgt.items():
+        if k in flat_imp and tuple(flat_imp[k].shape) == tuple(v.shape):
+            matched.append(k)
+        else:
+            mismatched.append(k)
+    return matched, mismatched
+
+
+def merge_into(template: dict, imported: dict) -> dict:
+    """Overlay imported leaves onto an init template (missing keys keep their
+    init values — the reference's strict=False load)."""
+    if not isinstance(template, dict):
+        return imported if imported is not None else template
+    out = {}
+    for k, v in template.items():
+        sub = imported.get(k) if isinstance(imported, dict) else None
+        out[k] = merge_into(v, sub) if sub is not None else v
+    return out

@@ -1,0 +1,104 @@
+"""ResNet-18 backbone with selectable normalization, TPU-native.
+
+The reference's SimCLR embedder is torchvision resnet18 with
+`norm_layer=nn.InstanceNorm2d` (affine-less, no running stats) and the fc
+head replaced by identity (reference compute_feats.py:404-438). flax
+implementation mirrors the torch module tree name-for-name so checkpoint
+import is a mechanical transpose (see snuffy_tpu.embed.torch_import):
+
+  conv1 / bn1 / layer{1..4}.{0,1}.{conv1,bn1,conv2,bn2,downsample.{0,1}}
+
+Output: (B, 512) global-average-pooled features.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm2d(affine=False): per-sample, per-channel spatial
+    normalization, no learned parameters, no running stats."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        mu = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mu) / jnp.sqrt(var + self.epsilon)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm: y = (x − mean)/√(var+ε)·γ + β with imported
+    running stats held as parameters (the embedder is frozen at extraction
+    time, reference compute_feats.py:431-433)."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+
+
+def make_norm(kind: str, features: int) -> nn.Module:
+    if kind == "instance":
+        return InstanceNorm()
+    if kind == "batch":
+        return FrozenBatchNorm(features)
+    raise KeyError(f"norm layer {kind!r} not in ('instance', 'batch')")
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    norm: str = "instance"
+
+    def _norm(self, name: str) -> nn.Module:
+        if self.norm == "batch":
+            return FrozenBatchNorm(self.features, name=name)
+        return InstanceNorm()
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+        y = nn.relu(self._norm("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), strides=(1, 1),
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = self._norm("bn2")(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            residual = self._norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18(nn.Module):
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3) → (B, 512)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        y = (FrozenBatchNorm(64, name="bn1")(y) if self.norm == "batch"
+             else InstanceNorm()(y))
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        plan = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        for li, (feats, stride) in enumerate(plan, start=1):
+            for bi in range(2):
+                y = BasicBlock(feats, stride if bi == 0 else 1, self.norm,
+                               name=f"layer{li}_{bi}")(y)
+        return jnp.mean(y, axis=(1, 2))

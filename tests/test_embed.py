@@ -1,0 +1,200 @@
+"""Embedder stack: ResNet/ViT/MAE forwards, torch-checkpoint import, and the
+JPEG-bag → CSV extraction pipeline round-tripping into the MIL loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+
+
+def test_resnet18_instance_norm_forward():
+    import jax
+    import jax.numpy as jnp
+    from snuffy_tpu.models.resnet import ResNet18
+
+    model = ResNet18(norm="instance")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 512)
+    assert np.isfinite(np.asarray(out)).all()
+    # InstanceNorm has no learned parameters → params only hold convs.
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.ndim in (4,) for l in leaves)  # conv kernels only
+
+
+def _torch_vit_state_dict(depth=2, dim=64, heads=2, patch=16, img=224,
+                          adapter=True, bottleneck=8):
+    torch = pytest.importorskip("torch")
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    n = (img // patch) ** 2
+    sd = {
+        "cls_token": t(1, 1, dim),
+        "pos_embed": t(1, n + 1, dim),
+        "patch_embed.proj.weight": t(dim, 3, patch, patch),
+        "patch_embed.proj.bias": t(dim),
+        "norm.weight": torch.ones(dim),
+        "norm.bias": torch.zeros(dim),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        sd.update({
+            f"{p}.norm1.weight": torch.ones(dim),
+            f"{p}.norm1.bias": torch.zeros(dim),
+            f"{p}.attn.qkv.weight": t(dim * 3, dim),
+            f"{p}.attn.qkv.bias": t(dim * 3),
+            f"{p}.attn.proj.weight": t(dim, dim),
+            f"{p}.attn.proj.bias": t(dim),
+            f"{p}.norm2.weight": torch.ones(dim),
+            f"{p}.norm2.bias": torch.zeros(dim),
+            f"{p}.mlp.fc1.weight": t(dim * 4, dim),
+            f"{p}.mlp.fc1.bias": t(dim * 4),
+            f"{p}.mlp.fc2.weight": t(dim, dim * 4),
+            f"{p}.mlp.fc2.bias": t(dim),
+        })
+        if adapter:
+            sd.update({
+                f"{p}.adaptmlp.down_proj.weight": t(bottleneck, dim),
+                f"{p}.adaptmlp.down_proj.bias": t(bottleneck),
+                f"{p}.adaptmlp.up_proj.weight": t(dim, bottleneck),
+                f"{p}.adaptmlp.up_proj.bias": t(dim),
+            })
+    return sd
+
+
+def test_vit_checkpoint_import_complete(tmp_path):
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.vit import VisionTransformer
+
+    sd = _torch_vit_state_dict()
+    path = tmp_path / "vit.pth"
+    torch.save(sd, str(path))
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        use_adapter=True, adapter_bottleneck=8, output="cls",
+    )
+    x = jnp.zeros((1, 224, 224, 3))
+    template = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    loaded = ti.load_torch_state_dict(str(path))
+    imported = ti.import_vit(loaded)
+    matched, mismatched = ti.check_layers(imported, template)
+    assert mismatched == [], f"missing: {mismatched}"
+
+    merged = ti.merge_into(template, imported)
+    out = model.apply({"params": merged}, x)
+    assert out.shape == (1, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # Linear transpose sanity: torch (out,in) → flax (in,out)
+    np.testing.assert_allclose(
+        merged["blocks_0"]["attn"]["qkv"]["kernel"],
+        sd["blocks.0.attn.qkv.weight"].numpy().T,
+    )
+
+
+def test_positional_rezip_and_errors():
+    from snuffy_tpu.embed.torch_import import positional_rezip
+
+    sd = {"foreign.a": np.zeros((2, 3)), "foreign.b": np.ones((4,))}
+    template = {"mine.x": np.empty((2, 3)), "mine.y": np.empty((4,))}
+    out = positional_rezip(sd, template)
+    assert set(out) == {"mine.x", "mine.y"}
+    with pytest.raises(ValueError):
+        positional_rezip({"a": np.zeros((5,))}, template)
+
+
+def _make_fake_dataset(root, n_bags=2, patches_per_bag=3, size=32):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    tile_rows = []
+    for cls in ("0_normal", "1_tumor"):
+        for b in range(n_bags):
+            slide = f"slide_{cls}_{b}"
+            bag_dir = os.path.join(root, "single", "fold1", "train", cls, slide)
+            os.makedirs(bag_dir, exist_ok=True)
+            for p in range(patches_per_bag):
+                arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                name = f"{p}_{p + 1}.jpeg"
+                Image.fromarray(arr).save(os.path.join(bag_dir, name))
+                tile_rows.append((f"{slide}_{p}_{p + 1}", int(cls[0])))
+    import pandas as pd
+
+    pd.DataFrame(tile_rows).to_csv(
+        os.path.join(root, "tile_label.csv"), header=False, index=False
+    )
+
+
+def test_extraction_pipeline_roundtrip(tmp_path):
+    from snuffy_tpu.embed.pipeline import extract_dataset, write_dataset_csv
+    from snuffy_tpu.embed.registry import build_embedder
+    from snuffy_tpu.data.bags import load_bag_csv
+
+    dataset_path = str(tmp_path / "camelyon16")
+    _make_fake_dataset(dataset_path)
+
+    embedder = build_embedder(
+        embedder="SimCLR", backbone="resnet18", num_classes=1, img_size=32
+    )
+    out_dir = str(tmp_path / "embeddings" / "camelyon16" / "SimCLR")
+    rows = extract_dataset(
+        embedder, dataset_path, "fold1", out_dir,
+        class_labels={"0_normal": 0, "1_tumor": 1},
+        tile_label_csv=os.path.join(dataset_path, "tile_label.csv"),
+        batch_size=4, img_size=32,
+    )
+    assert len(rows) == 4
+    labels = sorted(lab for _, lab in rows)
+    assert labels == [0, 0, 1, 1]
+
+    # Round-trip one bag CSV through the MIL loader schema.
+    path, lab = rows[-1]
+    label, feats, feats_labels, positions = load_bag_csv(path, lab, 1)
+    assert feats.shape == (3, 512)
+    assert feats_labels is not None and set(feats_labels) <= {0, 1}
+    assert all("_" in p for p in positions)
+    write_dataset_csv(str(tmp_path / "ds.csv"), rows)
+
+
+def test_mae_embed_shape():
+    import jax
+    import jax.numpy as jnp
+    from snuffy_tpu.models.mae import MaskedAutoencoderViT
+
+    model = MaskedAutoencoderViT(
+        img_size=32, patch_size=16, embed_dim=48, depth=1, num_heads=2,
+        decoder_embed_dim=24, decoder_depth=1, decoder_num_heads=2,
+        use_adapter=True, adapter_bottleneck=4,
+    )
+    imgs = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs, 0.5, True,
+    )
+    loss, pred, mask = model.apply(
+        variables, imgs, 0.5, True, rngs={"masking": jax.random.PRNGKey(2)}
+    )
+    assert pred.shape == (2, 4, 16 * 16 * 3)
+    assert mask.shape == (2, 4)
+    # mask ratio 0.5 of 4 patches → exactly 2 masked per sample
+    np.testing.assert_array_equal(np.asarray(mask).sum(axis=1), [2, 2])
+    assert np.isfinite(float(loss))
+
+    emb = model.apply(
+        variables, imgs, method=MaskedAutoencoderViT.embed_tokens
+    )
+    assert emb.shape == (2, 48)
