@@ -1,0 +1,196 @@
+"""DINO-with-Adapter SSL pretraining CLI — counterpart of the reference's
+`python dino_adapter/main_dino_adapter.py` (reference
+dino_adapter/main_dino_adapter.py:98-157 flags; SURVEY.md §3.4 call stack).
+
+TPU-native pipeline per step (ONE jitted program after the host decode):
+uint8 batch → device multi-crop augmentation → student(all views) /
+teacher(2 globals) → DINOLoss with center EMA → masked AdamW update of
+adapter+head → EMA teacher. Data parallelism = dp-sharded batch under jit
+(replaces DDP/gloo, reference dino_adapter/utils.py:473-513).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DINO-adapter pretraining (TPU-native)")
+    p.add_argument("--arch", default="vit_small",
+                   choices=["vit_tiny", "vit_small", "vit_base"])
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--out_dim", default=65536, type=int)
+    p.add_argument("--norm_last_layer", default=True, type=bool)
+    p.add_argument("--momentum_teacher", default=0.996, type=float)
+    p.add_argument("--warmup_teacher_temp", default=0.04, type=float)
+    p.add_argument("--teacher_temp", default=0.04, type=float)
+    p.add_argument("--warmup_teacher_temp_epochs", default=0, type=int)
+    p.add_argument("--weight_decay", default=0.04, type=float)
+    p.add_argument("--weight_decay_end", default=0.4, type=float)
+    p.add_argument("--clip_grad", default=3.0, type=float)
+    p.add_argument("--batch_size_per_gpu", default=64, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--freeze_last_layer", default=1, type=int)
+    p.add_argument("--lr", default=0.0005, type=float)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--global_crops_scale", type=float, nargs="+",
+                   default=(0.4, 1.0))
+    p.add_argument("--local_crops_number", default=8, type=int)
+    p.add_argument("--local_crops_scale", type=float, nargs="+",
+                   default=(0.05, 0.4))
+    p.add_argument("--data_path", default="datasets/camelyon16/single",
+                   type=str)
+    p.add_argument("--output_dir", default="runs/dino_adapter", type=str)
+    p.add_argument("--saveckp_freq", default=20, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--full_checkpoint", default=None, type=str,
+                   help="published DINO .pth to start from (frozen backbone)")
+    p.add_argument("--adapter_ffn_scalar", default=4.0, type=float)
+    p.add_argument("--ffn_num", default=64, type=int)
+    p.add_argument("--use_adapter", default=True, type=bool)
+    p.add_argument("--img_size", default=224, type=int)
+    p.add_argument("--global_size", default=224, type=int)
+    p.add_argument("--local_size", default=96, type=int)
+    p.add_argument("--max_steps_per_epoch", default=None, type=int)
+    return p
+
+
+def train_dino(args):
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.models.vit import vit_base, vit_small, vit_tiny
+    from snuffy_tpu.ssl.augment import dino_multicrop_batch
+    from snuffy_tpu.ssl.data import ImageBatcher, list_image_folder
+    from snuffy_tpu.ssl.dino import DINOTrainer
+    from snuffy_tpu.ssl.schedules import cosine_iter_schedule
+    from snuffy_tpu.embed import torch_import as ti
+
+    factory = {"vit_tiny": vit_tiny, "vit_small": vit_small,
+               "vit_base": vit_base}[args.arch]
+    backbone = factory(
+        patch_size=args.patch_size, output="cls",
+        use_adapter=args.use_adapter, adapter_bottleneck=args.ffn_num,
+        adapter_scale=args.adapter_ffn_scalar,
+    )
+    trainer = DINOTrainer(
+        backbone,
+        out_dim=args.out_dim,
+        warmup_teacher_temp=args.warmup_teacher_temp,
+        teacher_temp=args.teacher_temp,
+        warmup_teacher_temp_epochs=args.warmup_teacher_temp_epochs,
+        n_local_crops=args.local_crops_number,
+        local_size=args.local_size,
+        global_size=args.global_size,
+        freeze_backbone=args.use_adapter,
+        freeze_last_layer=args.freeze_last_layer,
+        clip_grad=args.clip_grad,
+        norm_last_layer=args.norm_last_layer,
+    )
+    state = trainer.init_state(args.seed)
+
+    if args.full_checkpoint:
+        sd = ti.load_torch_state_dict(args.full_checkpoint)
+        imported = ti.import_vit(sd)
+        merged = ti.merge_into(state.student["backbone"], imported)
+        student = {"backbone": merged, "head": state.student["head"]}
+        teacher = jax.tree_util.tree_map(jnp.copy, student)
+        state = state._replace(student=student, teacher=teacher)
+        print(f"loaded full checkpoint from {args.full_checkpoint}")
+
+    paths, _ = list_image_folder(args.data_path)
+    batcher = ImageBatcher(paths, args.batch_size_per_gpu, args.img_size,
+                           args.num_workers, args.seed)
+    iters = len(batcher)
+    if args.max_steps_per_epoch:
+        iters = min(iters, args.max_steps_per_epoch)
+    print(f"{len(paths)} images, {iters} iters/epoch")
+
+    lr_s = cosine_iter_schedule(
+        args.lr * args.batch_size_per_gpu / 256.0, args.min_lr,
+        args.epochs, iters, warmup_epochs=args.warmup_epochs,
+    )
+    wd_s = cosine_iter_schedule(args.weight_decay, args.weight_decay_end,
+                                args.epochs, iters)
+    mom_s = cosine_iter_schedule(args.momentum_teacher, 1.0, args.epochs,
+                                 iters)
+
+    step = trainer.get_step()
+    aug = jax.jit(
+        lambda key, imgs: dino_multicrop_batch(
+            key, imgs.astype(jnp.float32) / 255.0,
+            n_local=args.local_crops_number,
+            global_size=args.global_size, local_size=args.local_size,
+        )
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    it = 0
+    key = jax.random.PRNGKey(args.seed)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for bi, batch in enumerate(batcher.epoch()):
+            if bi >= iters:
+                break
+            key, k_aug, k_step = jax.random.split(key, 3)
+            g, l = aug(k_aug, jnp.asarray(batch))
+            state, loss = step(
+                state, g, l,
+                jnp.asarray(lr_s(it), jnp.float32),
+                jnp.asarray(wd_s(it), jnp.float32),
+                jnp.asarray(mom_s(it), jnp.float32),
+                jnp.asarray(trainer.teacher_temp_at(epoch), jnp.float32),
+                jnp.asarray(epoch < args.freeze_last_layer),
+                k_step,
+            )
+            loss = float(np.asarray(loss))
+            if not math.isfinite(loss):
+                raise FloatingPointError(f"Loss is {loss}, stopping training")
+            losses.append(loss)
+            it += 1
+        row = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(losses)) if losses else None,
+            "lr": lr_s(it - 1),
+            "wd": wd_s(it - 1),
+            "epoch_time_s": time.time() - t0,
+        }
+        print(json.dumps(row))
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+        _save(args, trainer, state, epoch)
+    batcher.close()
+    return state
+
+
+def _save(args, trainer, state, epoch):
+    from flax import serialization
+
+    payload = {
+        "student": state.student,
+        "teacher": state.teacher,
+        "center": state.center,
+        "step": state.step,
+        "epoch": epoch,
+    }
+    path = os.path.join(args.output_dir, "checkpoint.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    if args.saveckp_freq and epoch % args.saveckp_freq == 0:
+        import shutil
+
+        shutil.copy(path, os.path.join(args.output_dir,
+                                       f"checkpoint{epoch:04}.msgpack"))
+
+
+if __name__ == "__main__":
+    train_dino(get_args_parser().parse_args())

@@ -1,0 +1,198 @@
+"""MAE-with-Adapter SSL pretraining CLI — counterpart of the reference's
+`torchrun mae_adapter/main_pretrain_adapter.py` (reference
+mae_adapter/main_pretrain_adapter.py; SURVEY.md §3.3 call stack).
+
+TPU-native: masked-patch reconstruction in one jitted step, bf16 compute,
+masked AdamW over adapter (± decoder linears), per-iter half-cycle cosine
+LR with the blr·eff_batch/256 scaling rule, best-val-loss checkpoint with
+previous-best deletion. torchrun/nccl/DDP are replaced by the dp-sharded
+batch under jit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("MAE-adapter pretraining (TPU-native)")
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--epochs", default=400, type=int)
+    p.add_argument("--model", default="mae_vit_base_patch16", type=str,
+                   choices=["mae_vit_base_patch16", "mae_vit_large_patch16"])
+    p.add_argument("--input_size", default=224, type=int)
+    p.add_argument("--mask_ratio", default=0.75, type=float)
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--blr", default=1e-3, type=float)
+    p.add_argument("--min_lr", default=0.0, type=float)
+    p.add_argument("--warmup_epochs", default=40, type=int)
+    p.add_argument("--data_path", default="datasets/camelyon16/single",
+                   type=str)
+    p.add_argument("--valid_data_path", default=None, type=str)
+    p.add_argument("--output_dir", default="runs/mae_adapter", type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--finetune", default=None, type=str,
+                   help="published MAE .pth to start from")
+    p.add_argument("--adapter_ffn_scalar", default=4.0, type=float)
+    p.add_argument("--ffn_num", default=64, type=int)
+    p.add_argument("--use_adapter", default=True, type=bool)
+    p.add_argument("--train_linears__linears_from_scratch",
+                   default="[True, False]", type=str,
+                   help="composite flag: train decoder linears / re-init them")
+    p.add_argument("--max_steps_per_epoch", default=None, type=int)
+    return p
+
+
+def train_mae(args):
+    import ast
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.mae import (
+        mae_vit_base_patch16,
+        mae_vit_large_patch16,
+    )
+    from snuffy_tpu.ssl.data import ImageBatcher, list_image_folder
+    from snuffy_tpu.ssl.mae_trainer import (
+        MAETrainer,
+        effective_lr,
+        host_check_finite,
+    )
+    from snuffy_tpu.ssl.schedules import mae_lr_schedule
+
+    train_linears, linears_from_scratch = ast.literal_eval(
+        args.train_linears__linears_from_scratch
+    )
+
+    factory = {"mae_vit_base_patch16": mae_vit_base_patch16,
+               "mae_vit_large_patch16": mae_vit_large_patch16}[args.model]
+    model = factory(
+        img_size=args.input_size,
+        norm_pix_loss=args.norm_pix_loss,
+        use_adapter=args.use_adapter,
+        adapter_bottleneck=args.ffn_num,
+        adapter_scale=args.adapter_ffn_scalar,
+    )
+    trainer = MAETrainer(
+        model,
+        mask_ratio=args.mask_ratio,
+        weight_decay=args.weight_decay,
+        freeze_non_adapter=args.use_adapter,
+        train_decoder_linears=train_linears,
+    )
+    state = trainer.init_state(args.seed)
+
+    if args.finetune:
+        sd = ti.load_torch_state_dict(args.finetune)
+        imported = ti.import_mae(sd)
+        if linears_from_scratch:
+            # keep the randomly-initialized decoder linears
+            # (reference main_pretrain_adapter.py:209-221).
+            imported.pop("decoder_embed", None)
+            imported.pop("decoder_pred", None)
+        merged = ti.merge_into(state.params, imported)
+        state = state._replace(params=merged)
+        print(f"loaded checkpoint from {args.finetune}")
+
+    base_lr = args.lr if args.lr is not None else effective_lr(
+        args.blr, args.batch_size
+    )
+    lr_s = mae_lr_schedule(base_lr, args.min_lr, args.epochs,
+                           args.warmup_epochs)
+
+    paths, _ = list_image_folder(args.data_path)
+    batcher = ImageBatcher(paths, args.batch_size, args.input_size,
+                           args.num_workers, args.seed)
+    iters = len(batcher)
+    if args.max_steps_per_epoch:
+        iters = min(iters, args.max_steps_per_epoch)
+    print(f"{len(paths)} images, {iters} iters/epoch, base_lr {base_lr:.2e}")
+
+    valid_batcher = None
+    if args.valid_data_path:
+        vp, _ = list_image_folder(args.valid_data_path)
+        valid_batcher = ImageBatcher(vp, args.batch_size, args.input_size,
+                                     args.num_workers, args.seed + 1)
+
+    step = trainer.get_step()
+    os.makedirs(args.output_dir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    best_val, best_path = float("inf"), None
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for bi, batch in enumerate(batcher.epoch()):
+            if bi >= iters:
+                break
+            frac_epoch = epoch + bi / iters
+            key, k = jax.random.split(key)
+            state, loss = step(
+                state,
+                jnp.asarray(batch, jnp.float32) / 255.0,
+                jnp.asarray(lr_s(frac_epoch), jnp.float32),
+                k,
+            )
+            loss = float(np.asarray(loss))
+            host_check_finite(loss)
+            losses.append(loss)
+
+        val_loss = None
+        if valid_batcher is not None:
+            vl = []
+            for bi, batch in enumerate(valid_batcher.epoch()):
+                if bi >= 10:
+                    break
+                key, k = jax.random.split(key)
+                vl.append(trainer.eval_loss(
+                    state, np.asarray(batch, np.float32) / 255.0, k
+                ))
+            val_loss = float(np.mean(vl)) if vl else None
+
+        row = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(losses)) if losses else None,
+            "val_loss": val_loss,
+            "lr": lr_s(epoch),
+            "epoch_time_s": time.time() - t0,
+        }
+        print(json.dumps(row))
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+        # best-val checkpoint with previous-best deletion
+        # (reference main_pretrain_adapter.py:336-356).
+        metric = val_loss if val_loss is not None else row["train_loss"]
+        if metric is not None and metric < best_val:
+            from flax import serialization
+
+            new_path = os.path.join(
+                args.output_dir, f"checkpoint-best-{epoch}.msgpack"
+            )
+            with open(new_path, "wb") as f:
+                f.write(serialization.to_bytes(
+                    {"params": state.params, "step": state.step,
+                     "epoch": epoch}
+                ))
+            if best_path and os.path.exists(best_path):
+                os.remove(best_path)
+            best_val, best_path = metric, new_path
+    batcher.close()
+    if valid_batcher is not None:
+        valid_batcher.close()
+    return state
+
+
+if __name__ == "__main__":
+    train_mae(get_args_parser().parse_args())

@@ -1,0 +1,307 @@
+"""DINO-with-Adapter self-supervised trainer, TPU-native.
+
+Rebuild of the reference DINO-adapter stage (reference
+dino_adapter/main_dino_adapter.py; SURVEY.md §2.7):
+
+  * student/teacher ViTs share one flax definition; `MultiCropWrapper`
+    semantics (backbone per crop resolution, one DINOHead over concatenated
+    CLS outputs, main_dino_adapter.py:228-237) are reproduced by
+    `forward_views`;
+  * DINOLoss with teacher-temperature warmup and center EMA
+    (main_dino_adapter.py:618-671); the center all-reduce becomes a
+    `psum`-free global mean: the batch axis is sharded over dp and XLA
+    inserts the collective for `jnp.mean` automatically;
+  * EMA teacher update on a cosine momentum schedule
+    (main_dino_adapter.py:541-545);
+  * adapter finetuning freeze — only adapter + head parameters receive
+    updates (main_dino_adapter.py:307-314) — implemented as an optax mask,
+    not Python mutation;
+  * per-parameter gradient clipping and last-layer gradient cancelling
+    (dino_adapter/utils.py:137-154);
+  * replaces DDP/gloo with a dp-sharded jit step (SURVEY.md §2.14).
+
+The whole step (augment → student/teacher forwards → loss → masked update →
+EMA) is ONE jitted function with donated state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snuffy_tpu.models.vit import DINOHead, VisionTransformer
+
+
+class DINOState(NamedTuple):
+    student: Any          # {'backbone': ..., 'head': ...}
+    teacher: Any          # same structure
+    center: jnp.ndarray   # (1, out_dim)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def is_trainable_path(path: Tuple[str, ...], freeze_backbone: bool) -> bool:
+    """Adapter-finetuning freeze: head always trains; backbone only its
+    adapter branches (reference main_dino_adapter.py:307-314 freezes params
+    that were present in the loaded checkpoint — i.e. everything except the
+    adapters, which are 'missing keys' — plus keeps the head)."""
+    names = [str(p) for p in path]
+    if names[0] == "head":
+        return True
+    if not freeze_backbone:
+        return True
+    return any("adaptmlp" in n for n in names)
+
+
+def trainable_mask(params, freeze_backbone: bool):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable_path(
+            tuple(p.key if hasattr(p, "key") else str(p) for p in path),
+            freeze_backbone,
+        ),
+        params,
+    )
+
+
+def clip_gradients_per_param(grads, clip: float):
+    """DINO's per-parameter norm clip (reference dino_adapter/utils.py:137-146)."""
+
+    def one(g):
+        norm = jnp.linalg.norm(g)
+        factor = jnp.minimum(1.0, clip / (norm + 1e-6))
+        return g * factor
+
+    return jax.tree_util.tree_map(one, grads)
+
+
+def cancel_last_layer_grads(grads, epoch: int, freeze_last_layer: int):
+    """Zero DINOHead last-layer grads during the first epochs (reference
+    dino_adapter/utils.py:148-154)."""
+    if epoch >= freeze_last_layer:
+        return grads
+
+    def zero_last(path, g):
+        names = [str(p.key if hasattr(p, "key") else p) for p in path]
+        if any("last_layer" in n for n in names):
+            return jnp.zeros_like(g)
+        return g
+
+    return jax.tree_util.tree_map_with_path(zero_last, grads)
+
+
+class DINOTrainer:
+    def __init__(
+        self,
+        backbone: VisionTransformer,
+        out_dim: int = 65536,
+        warmup_teacher_temp: float = 0.04,
+        teacher_temp: float = 0.04,
+        warmup_teacher_temp_epochs: int = 0,
+        student_temp: float = 0.1,
+        center_momentum: float = 0.9,
+        n_local_crops: int = 8,
+        local_size: int = 96,
+        global_size: int = 224,
+        freeze_backbone: bool = True,
+        freeze_last_layer: int = 1,
+        clip_grad: Optional[float] = 3.0,
+        norm_last_layer: bool = True,
+        head_hidden_dim: int = 2048,
+        head_bottleneck_dim: int = 256,
+    ):
+        self.backbone = backbone
+        self.head = DINOHead(
+            out_dim=out_dim,
+            hidden_dim=head_hidden_dim,
+            bottleneck_dim=head_bottleneck_dim,
+            norm_last_layer=norm_last_layer,
+        )
+        self.out_dim = out_dim
+        self.student_temp = student_temp
+        self.center_momentum = center_momentum
+        self.n_local = n_local_crops
+        self.local_size = local_size
+        self.global_size = global_size
+        self.freeze_backbone = freeze_backbone
+        self.freeze_last_layer = freeze_last_layer
+        self.clip_grad = clip_grad
+        self.warmup_teacher_temp = warmup_teacher_temp
+        self.teacher_temp = teacher_temp
+        self.warmup_teacher_temp_epochs = warmup_teacher_temp_epochs
+        self.tx: Optional[optax.GradientTransformation] = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------- building
+
+    def teacher_temp_at(self, epoch: int) -> float:
+        """Linear warmup then constant (reference main_dino_adapter.py:633-639)."""
+        if epoch < self.warmup_teacher_temp_epochs:
+            span = self.warmup_teacher_temp_epochs
+            return self.warmup_teacher_temp + (
+                self.teacher_temp - self.warmup_teacher_temp
+            ) * epoch / span
+        return self.teacher_temp
+
+    def init_state(self, seed: int = 0) -> DINOState:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        gdummy = jnp.zeros((1, self.global_size, self.global_size, 3))
+        bb = self.backbone.init(k1, gdummy, True)["params"]
+        cls = self.backbone.apply({"params": bb}, gdummy, True)
+        head = self.head.init(k2, cls)["params"]
+        student = {"backbone": bb, "head": head}
+        teacher = jax.tree_util.tree_map(jnp.copy, student)
+        self.tx = optax.masked(
+            optax.chain(optax.scale_by_adam(), optax.scale(-1.0)),
+            trainable_mask(student, self.freeze_backbone),
+        )
+        opt_state = self.tx.init(student)
+        return DINOState(
+            student, teacher, jnp.zeros((1, self.out_dim)), opt_state,
+            jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------- forwards
+
+    def forward_views(self, params, globals_, locals_, deterministic, rngs=None):
+        """(2, B, gs, gs, 3) + (L, B, ls, ls, 3) → (2+L, B, out_dim).
+        One backbone call per resolution (crops folded into the batch), one
+        head call over everything — the MultiCropWrapper contract."""
+        def run(crops):
+            v, b = crops.shape[0], crops.shape[1]
+            flat = crops.reshape((v * b,) + crops.shape[2:])
+            cls = self.backbone.apply(
+                {"params": params["backbone"]}, flat, deterministic,
+                rngs=rngs,
+            )
+            return cls.reshape(v, b, -1)
+
+        outs = [run(globals_)]
+        if locals_.shape[0] > 0:
+            outs.append(run(locals_))
+        cls_all = jnp.concatenate(outs, axis=0)  # (V, B, D)
+        v, b, d = cls_all.shape
+        logits = self.head.apply(
+            {"params": params["head"]}, cls_all.reshape(v * b, d)
+        )
+        return logits.reshape(v, b, self.out_dim)
+
+    def dino_loss(self, student_out, teacher_out, center, teacher_temp):
+        """Cross-entropy between teacher (centered+sharpened, 2 global views)
+        and student (all views), skipping same-view pairs
+        (reference main_dino_adapter.py:641-663). Returns (loss, new_center)."""
+        t = jax.nn.softmax((teacher_out - center[None]) / teacher_temp, axis=-1)
+        t = jax.lax.stop_gradient(t)
+        log_s = jax.nn.log_softmax(student_out / self.student_temp, axis=-1)
+
+        n_views = student_out.shape[0]
+        total, n_terms = 0.0, 0
+        for iq in range(2):                 # teacher views
+            for v in range(n_views):        # student views
+                if v == iq:
+                    continue
+                total = total + jnp.mean(
+                    -jnp.sum(t[iq] * log_s[v], axis=-1)
+                )
+                n_terms += 1
+        loss = total / n_terms
+        # Center EMA over the teacher batch; with B sharded over dp, XLA
+        # all-reduces the mean (the dist.all_reduce of
+        # main_dino_adapter.py:666-668).
+        batch_center = jnp.mean(
+            teacher_out.reshape(-1, self.out_dim), axis=0, keepdims=True
+        )
+        new_center = center * self.center_momentum + batch_center * (
+            1 - self.center_momentum
+        )
+        return loss, new_center
+
+    # ----------------------------------------------------------------- step
+
+    def make_step(self, epoch_of_step: Callable[[int], int] = None):
+        """Build the jitted train step:
+        (state, globals, locals, lr, wd, momentum, teacher_temp, epoch, rng)
+        → (state, loss)."""
+
+        def step(state: DINOState, globals_, locals_, lr, wd, momentum,
+                 teacher_temp, cancel_last, rng):
+            k_s, k_t = jax.random.split(rng)
+
+            def loss_fn(student):
+                s_out = self.forward_views(
+                    student, globals_, locals_, False,
+                    rngs={"dropout": k_s, "droppath": k_s},
+                )
+                # Teacher sees only the 2 global views
+                # (reference main_dino_adapter.py:513-515).
+                t_out = self.forward_views(
+                    state.teacher, globals_, locals_[:0], True
+                )
+                return self.dino_loss(s_out, t_out, state.center, teacher_temp)
+
+            (loss, new_center), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.student)
+
+            if self.clip_grad is not None:
+                grads = clip_gradients_per_param(grads, self.clip_grad)
+            # cancel last-layer grads while cancel_last (traced 0/1 scalar)
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.where(
+                    cancel_last
+                    & jnp.asarray(
+                        any(
+                            "last_layer" in str(
+                                p.key if hasattr(p, "key") else p
+                            )
+                            for p in path
+                        )
+                    ),
+                    jnp.zeros_like(g),
+                    g,
+                ),
+                grads,
+            )
+
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.student)
+            mask = trainable_mask(state.student, self.freeze_backbone)
+
+            def apply_update(path, p, u, m):
+                names = [str(pp.key if hasattr(pp, "key") else pp)
+                         for pp in path]
+                new = p + lr * u  # updates already carry −1 scale
+                # Decoupled decay skips biases/norm scales (DINO
+                # get_params_groups, reference dino_adapter/utils.py:648-659).
+                if names[-1] not in ("bias", "scale"):
+                    new = new - lr * wd * p
+                if any("last_layer" in n for n in names):
+                    # Cancelled last layer is skipped entirely — torch sets
+                    # grad=None so AdamW neither steps nor decays it
+                    # (reference dino_adapter/utils.py:148-154).
+                    new = jnp.where(cancel_last, p, new)
+                return jnp.where(m, new, p)
+
+            new_student = jax.tree_util.tree_map_with_path(
+                apply_update, state.student, updates, mask,
+            )
+            new_teacher = jax.tree_util.tree_map(
+                lambda t, s: t * momentum + s * (1.0 - momentum),
+                state.teacher, new_student,
+            )
+            return (
+                DINOState(new_student, new_teacher, new_center, opt_state,
+                          state.step + 1),
+                loss,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def get_step(self):
+        if self._step_fn is None:
+            self._step_fn = self.make_step()
+        return self._step_fn

@@ -1,0 +1,164 @@
+"""MAE-with-Adapter pretraining trainer, TPU-native.
+
+Rebuild of the reference MAE-adapter stage (reference
+mae_adapter/main_pretrain_adapter.py; SURVEY.md §2.8):
+
+  * masked-patch reconstruction loss from models/mae.py;
+  * AdamW over timm-style param groups — weight decay skips biases and
+    norm parameters (reference timm_modified/optim/optim_factory.py:26-38);
+  * adapter finetuning freeze: only adapter parameters (± the decoder
+    linears when `train_decoder_linears`) update
+    (main_pretrain_adapter.py:278-285);
+  * per-iteration half-cycle cosine LR with warmup and the
+    `blr·eff_batch/256` linear scaling rule (main_pretrain_adapter.py:296-302,
+    util/lr_sched.py:10-23);
+  * AMP → native bf16 compute: images and activations in bfloat16, params
+    and the loss in float32 (the GradScaler dance is unnecessary on TPU);
+  * DDP/nccl → dp-sharded jit step; the gradient all-reduce is XLA's.
+
+NaN handling matches the reference's hard stop (main_pretrain_adapter.py:404):
+`host_check_finite` raises on non-finite loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snuffy_tpu.models.mae import MaskedAutoencoderViT
+
+
+class MAEState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def mae_trainable_mask(params, freeze_non_adapter: bool,
+                       train_decoder_linears: bool):
+    """Adapter params (missing keys on checkpoint load) always train; the
+    decoder_embed/decoder_pred linears optionally too
+    (reference main_pretrain_adapter.py:209-288)."""
+
+    def one(path, _):
+        if not freeze_non_adapter:
+            return True
+        names = [str(p.key if hasattr(p, "key") else p) for p in path]
+        if any("adaptmlp" in n for n in names):
+            return True
+        if train_decoder_linears and names[0] in ("decoder_embed",
+                                                  "decoder_pred"):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def no_decay_mask(params):
+    """timm add_weight_decay: no decay for 1-D params and biases
+    (reference timm_modified/optim/optim_factory.py:26-38)."""
+
+    def one(path, leaf):
+        names = [str(p.key if hasattr(p, "key") else p) for p in path]
+        return not (leaf.ndim <= 1 or names[-1] == "bias")
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def effective_lr(blr: float, batch_size: int, accum: int = 1,
+                 n_devices: int = 1) -> float:
+    """Linear LR scaling rule (reference main_pretrain_adapter.py:296-302)."""
+    eff_batch = batch_size * accum * n_devices
+    return blr * eff_batch / 256.0
+
+
+class MAETrainer:
+    def __init__(
+        self,
+        model: MaskedAutoencoderViT,
+        mask_ratio: float = 0.75,
+        weight_decay: float = 0.05,
+        betas: Tuple[float, float] = (0.9, 0.95),
+        freeze_non_adapter: bool = True,
+        train_decoder_linears: bool = False,
+        use_bf16: bool = True,
+    ):
+        self.model = model
+        self.mask_ratio = mask_ratio
+        self.weight_decay = weight_decay
+        self.betas = betas
+        self.freeze_non_adapter = freeze_non_adapter
+        self.train_decoder_linears = train_decoder_linears
+        self.use_bf16 = use_bf16
+        self.tx: Optional[optax.GradientTransformation] = None
+        self._step_fn = None
+
+    def init_state(self, seed: int = 0) -> MAEState:
+        k = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, self.model.img_size, self.model.img_size, 3))
+        params = self.model.init(
+            {"params": k, "masking": k}, dummy, self.mask_ratio, True
+        )["params"]
+        b1, b2 = self.betas
+        decay = no_decay_mask(params)
+        inner = optax.chain(
+            optax.scale_by_adam(b1=b1, b2=b2),
+            optax.masked(optax.add_decayed_weights(self.weight_decay), decay),
+            optax.scale(-1.0),
+        )
+        self.tx = optax.masked(
+            inner,
+            mae_trainable_mask(params, self.freeze_non_adapter,
+                               self.train_decoder_linears),
+        )
+        return MAEState(params, self.tx.init(params),
+                        jnp.asarray(0, jnp.int32))
+
+    def make_step(self):
+        mask = None
+
+        def step(state: MAEState, images, lr, rng):
+            imgs = images.astype(jnp.bfloat16) if self.use_bf16 else images
+
+            def loss_fn(params):
+                loss, _, _ = self.model.apply(
+                    {"params": params}, imgs, self.mask_ratio, False,
+                    rngs={"masking": rng, "dropout": rng, "droppath": rng},
+                )
+                return loss.astype(jnp.float32)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            m = mae_trainable_mask(state.params, self.freeze_non_adapter,
+                                   self.train_decoder_linears)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u, mm: jnp.where(mm, p + lr * u, p),
+                state.params, updates, m,
+            )
+            return MAEState(new_params, opt_state, state.step + 1), loss
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def get_step(self):
+        if self._step_fn is None:
+            self._step_fn = self.make_step()
+        return self._step_fn
+
+    def eval_loss(self, state: MAEState, images, rng) -> float:
+        loss, _, _ = self.model.apply(
+            {"params": state.params}, images, self.mask_ratio, True,
+            rngs={"masking": rng},
+        )
+        return float(loss)
+
+
+def host_check_finite(loss: float):
+    """The reference exits hard on non-finite loss
+    (reference main_pretrain_adapter.py:404-406)."""
+    if not np.isfinite(loss):
+        raise FloatingPointError(f"Loss is {loss}, stopping training")

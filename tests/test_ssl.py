@@ -1,0 +1,161 @@
+"""SSL trainers: DINO-adapter and MAE-adapter steps on tiny models —
+freeze semantics, EMA teacher, center updates, finite losses, augmentations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snuffy_tpu.models.mae import MaskedAutoencoderViT
+from snuffy_tpu.models.vit import VisionTransformer
+from snuffy_tpu.ssl.augment import dino_multicrop_batch
+from snuffy_tpu.ssl.dino import DINOTrainer
+from snuffy_tpu.ssl.mae_trainer import (
+    MAETrainer,
+    effective_lr,
+    host_check_finite,
+    mae_trainable_mask,
+    no_decay_mask,
+)
+from snuffy_tpu.ssl.schedules import cosine_iter_schedule, mae_lr_schedule
+
+
+def tiny_backbone():
+    return VisionTransformer(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0,
+        use_adapter=True, adapter_bottleneck=4, output="cls",
+    )
+
+
+def _flat(tree):
+    return {
+        "/".join(str(p.key) for p in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_dino_step_freeze_and_ema():
+    trainer = DINOTrainer(
+        tiny_backbone(), out_dim=64, n_local_crops=2,
+        local_size=16, global_size=32, freeze_backbone=True,
+        head_hidden_dim=32, head_bottleneck_dim=16,
+    )
+    state = trainer.init_state(0)
+    step = trainer.get_step()
+
+    rng = np.random.default_rng(0)
+    b = 2
+    globals_ = jnp.asarray(rng.normal(size=(2, b, 32, 32, 3)), jnp.float32)
+    locals_ = jnp.asarray(rng.normal(size=(2, b, 16, 16, 3)), jnp.float32)
+
+    before = _flat(state.student)
+    teacher_before = _flat(state.teacher)  # snapshot pre-donation
+    state2, loss = step(
+        state, globals_, locals_,
+        jnp.asarray(1e-3), jnp.asarray(0.04), jnp.asarray(0.99),
+        jnp.asarray(0.04), jnp.asarray(True), jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(loss))
+    after = _flat(state2.student)
+
+    frozen_moved, adapter_moved, head_moved = [], [], []
+    for k in before:
+        moved = not np.allclose(before[k], after[k])
+        if "adaptmlp" in k:
+            adapter_moved.append(moved)
+        elif k.startswith("head/"):
+            head_moved.append(moved)
+        else:
+            frozen_moved.append(moved)
+    assert not any(frozen_moved), "frozen backbone params moved"
+    assert any(adapter_moved), "adapter params did not move"
+    assert any(head_moved), "head params did not move"
+    # last_layer grads cancelled → last_layer_v unchanged
+    np.testing.assert_allclose(
+        before["head/last_layer_v"], after["head/last_layer_v"]
+    )
+    # teacher EMA: teacher moved toward student but is not equal to it
+    t_after = _flat(state2.teacher)
+    assert any(
+        not np.allclose(t_after[k], teacher_before[k])
+        for k in t_after if "adaptmlp" in k
+    )
+    # center was updated
+    assert not np.allclose(np.asarray(state2.center), 0.0)
+
+
+def test_dino_teacher_temp_warmup():
+    trainer = DINOTrainer(
+        tiny_backbone(), out_dim=8, warmup_teacher_temp=0.01,
+        teacher_temp=0.05, warmup_teacher_temp_epochs=10,
+    )
+    assert trainer.teacher_temp_at(0) == pytest.approx(0.01)
+    assert trainer.teacher_temp_at(5) == pytest.approx(0.03)
+    assert trainer.teacher_temp_at(10) == pytest.approx(0.05)
+    assert trainer.teacher_temp_at(50) == pytest.approx(0.05)
+
+
+def test_mae_trainer_freeze_and_loss():
+    model = MaskedAutoencoderViT(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2.0, use_adapter=True, adapter_bottleneck=4,
+    )
+    trainer = MAETrainer(model, mask_ratio=0.5, freeze_non_adapter=True,
+                         train_decoder_linears=True, use_bf16=False)
+    state = trainer.init_state(0)
+    step = trainer.get_step()
+
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    before = _flat(state.params)
+    state2, loss = step(state, imgs, jnp.asarray(1e-3), jax.random.PRNGKey(0))
+    host_check_finite(float(loss))
+    after = _flat(state2.params)
+
+    for k in before:
+        moved = not np.allclose(before[k], after[k])
+        if "adaptmlp" in k or k.startswith(("decoder_embed/", "decoder_pred/")):
+            continue  # allowed to move
+        assert not moved, f"frozen param {k} moved"
+    assert any(
+        not np.allclose(before[k], after[k]) for k in before if "adaptmlp" in k
+    )
+    assert any(
+        not np.allclose(before[k], after[k])
+        for k in before if k.startswith("decoder_pred/")
+    )
+
+
+def test_mae_nan_guard():
+    with pytest.raises(FloatingPointError):
+        host_check_finite(float("nan"))
+
+
+def test_schedules():
+    sched = cosine_iter_schedule(1.0, 0.1, epochs=10, iters_per_epoch=10,
+                                 warmup_epochs=2)
+    assert sched(0) == pytest.approx(0.0)
+    assert sched(10) == pytest.approx(0.5)
+    assert sched(20) == pytest.approx(1.0)
+    assert sched(100) == pytest.approx(0.1)
+    lr = mae_lr_schedule(1.0, 0.0, epochs=10, warmup_epochs=2)
+    assert lr(1.0) == pytest.approx(0.5)
+    assert lr(2.0) == pytest.approx(1.0)
+    assert lr(10.0) == pytest.approx(0.0, abs=1e-9)
+    assert effective_lr(1e-3, 256) == pytest.approx(1e-3)
+    assert effective_lr(1e-3, 256, n_devices=4) == pytest.approx(4e-3)
+
+
+def test_multicrop_shapes_and_stats():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    g, l = dino_multicrop_batch(
+        jax.random.PRNGKey(0), imgs, n_local=3, global_size=32, local_size=16
+    )
+    assert g.shape == (2, 2, 32, 32, 3)
+    assert l.shape == (3, 2, 16, 16, 3)
+    assert np.isfinite(np.asarray(g)).all() and np.isfinite(np.asarray(l)).all()
+    # normalized outputs: roughly centered
+    assert abs(float(jnp.mean(g))) < 3.0
