@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -188,7 +189,69 @@ class Runner:
         res[f"{prefix}_ece"] = ece_loss(
             scores, labels_arr, 0.5, n_bins=self.cfg.bins, logits=False
         )
+
+        # CAMELYON16 FROC localization at test time (train.py:336-349,
+        # 392-410): instance scores above the optimal feat threshold become
+        # level-0 detections at patch centers.
+        is_test = "test" in prefix
+        slide_names = data[4] if len(data) > 4 else None
+        if (
+            is_test
+            and self.cfg.dataset == "camelyon16"
+            and data[3] is not None
+            and slide_names is not None
+            and os.path.isdir(self.cfg.camelyon16_mask_path)
+            and os.path.exists(self.cfg.camelyon16_reference)
+        ):
+            feat_th = (
+                predefined_feats_thresholds[0]
+                if predefined_feats_thresholds
+                else res.get(f"{prefix}_feat_thresholds_optimal", [0.5])[0]
+            )
+            res[f"{prefix}_challenge_froc_score"] = self._camelyon16_froc(
+                data, ins_list, order, feat_th
+            )
         return res
+
+    def _camelyon16_froc(self, data, ins_list, order, feat_threshold):
+        """Build per-slide detections and score them against the official
+        masks (reference train.py:347-349 detection construction:
+        x = col·512 + 256, y = row·512 + 256 at WSI level 0)."""
+        import pandas as pd
+
+        from snuffy_tpu.eval.froc import froc_for_slides
+
+        positions, names = data[3], data[4]
+        detections, types = {}, {}
+        ref = pd.read_csv(self.cfg.camelyon16_reference)
+        type_by_image = {
+            os.path.splitext(str(r["image"]))[0]: str(r["type"]).lower()
+            for _, r in ref.iterrows()
+        }
+        for j, bag_idx in enumerate(order):
+            slide = names[bag_idx]
+            scores_j = np.asarray(ins_list[j]).reshape(-1)
+            dets = []
+            for pos_str, prob in zip(positions[bag_idx], scores_j):
+                if prob <= feat_threshold:
+                    continue
+                m = re.search(r"[^\d]*(\d+)[^\d]*(\d+)", str(pos_str))
+                if not m:
+                    continue
+                col, row = int(m.group(1)), int(m.group(2))
+                dets.append((float(prob), col * 512 + 256, row * 512 + 256))
+            detections[slide] = dets
+            types[slide] = type_by_image.get(slide, "tumor")
+
+        score, avg_fps, sens = froc_for_slides(
+            detections,
+            lambda s: os.path.join(
+                self.cfg.camelyon16_mask_path, f"{s}_mask.tif"
+            ),
+            types,
+            evaluation_mask_level=5,
+        )
+        return score
 
     # ----------------------------------------------------------- checkpoints
 

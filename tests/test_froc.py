@@ -1,0 +1,110 @@
+"""FROC evaluation on synthetic masks: dilation/ITC rules, TP/FP
+assignment, curve and challenge score (reference froc.py semantics)."""
+
+import numpy as np
+import pytest
+
+from snuffy_tpu.eval.froc import (
+    ArrayMaskReader,
+    MaskLevel,
+    compute_evaluation_mask,
+    compute_froc,
+    compute_probabilities,
+    compute_score,
+    froc_for_slides,
+    major_axis_lengths,
+    scale_detections,
+)
+
+
+def synthetic_mask(downsample=32.0, spacing=1.0):
+    """100×100 level-5 mask: a 20×20 tumor block and a 1-px ITC."""
+    arr = np.zeros((100, 100), np.uint8)
+    arr[10:30, 10:30] = 2    # real tumor
+    arr[70, 70] = 2          # isolated tumor cell
+    return ArrayMaskReader({5: MaskLevel(arr, downsample, spacing)})
+
+
+def test_evaluation_mask_and_itc_detection():
+    mask = synthetic_mask()
+    labeled, itcs = compute_evaluation_mask(mask, 5, include_itcs=False)
+    n_labels = labeled.max()
+    assert n_labels == 2
+    assert len(itcs) == 1
+    # The ITC is the single-pixel region (the one containing (70,70)).
+    itc_label = labeled[70, 70]
+    assert itc_label in itcs
+    assert labeled[20, 20] not in itcs
+    # Dilation: threshold 75/(32·2) ≈ 1.17 px → the block grew by 1 px.
+    assert labeled[9, 20] == labeled[20, 20]
+
+    # With ITCs included, no region is dropped.
+    _, itcs2 = compute_evaluation_mask(mask, 5, include_itcs=True)
+    assert itcs2 == set()
+
+
+def test_major_axis_lengths_square():
+    arr = np.zeros((50, 50), int)
+    arr[10:30, 10:30] = 1
+    lengths = major_axis_lengths(arr, 1)
+    # uniform 20×20 square: var=(20²−1)/12 → major ≈ 4·√33.25 ≈ 23.06
+    assert lengths[1] == pytest.approx(23.06, abs=0.1)
+
+
+def test_tp_fp_assignment_and_score():
+    mask = synthetic_mask()
+    labeled, itcs = compute_evaluation_mask(mask, 5, include_itcs=False)
+    down = 32.0
+    # detections at level-0 coords: inside tumor, background, inside ITC
+    dets = [(0.9, 20 * down, 20 * down),
+            (0.8, 50 * down, 50 * down),
+            (0.7, 70 * down, 70 * down)]
+    items = scale_detections(dets, down)
+    fp, tp, count = compute_probabilities(items, labeled, itcs)
+    assert fp == [0.8]
+    assert count == 1            # 2 regions − 1 ITC
+    assert max(tp) == 0.9        # the tumor hit
+    assert 0.7 not in fp and 0.7 not in tp  # ITC hit dropped entirely
+
+    froc_data = {"tumor_001": {"fp": fp, "tp": [0.9], "count": 1}}
+    avg_fps, sens, thresholds = compute_froc(froc_data)
+    assert thresholds == [0.8, 0.9]
+    assert avg_fps == [1.0, 0.0, 0.0]
+    assert sens == [1.0, 1.0, 0.0]
+    assert compute_score(avg_fps, sens) == pytest.approx(1.0)
+
+
+def test_normal_slide_all_fp():
+    fp, tp, count = compute_probabilities(
+        [(0.6, 5, 5), (0.4, 6, 6)], None, set()
+    )
+    assert fp == [0.6, 0.4] and tp == [] and count == 0
+
+
+def test_froc_for_slides_end_to_end():
+    mask = synthetic_mask()
+    down = 32.0
+    detections = {
+        "tumor_001": [(0.9, 20 * down, 20 * down), (0.3, 60 * down, 60 * down)],
+        "normal_001": [(0.5, 10 * down, 10 * down)],
+    }
+    types = {"tumor_001": "tumor", "normal_001": "normal"}
+    score, avg_fps, sens = froc_for_slides(
+        detections, lambda s: mask, types, evaluation_mask_level=5
+    )
+    # sensitivity 1 is reached while FP/slide ≤ 0.5 → score < 1 only below
+    # the 0.25 target; expected: at threshold 0.9 → 0 FP, sens 1.
+    assert 0.8 <= score <= 1.0
+    assert max(sens) == 1.0
+
+
+def test_missed_tumor_reduces_score():
+    mask = synthetic_mask()
+    down = 32.0
+    detections = {"tumor_001": [(0.9, 50 * down, 50 * down)]}  # background
+    types = {"tumor_001": "tumor"}
+    score, _, sens = froc_for_slides(
+        detections, lambda s: mask, types, evaluation_mask_level=5
+    )
+    assert score == 0.0
+    assert max(sens) == 0.0

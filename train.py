@@ -189,7 +189,10 @@ def load_datasets(cfg):
             use_mp=cfg.use_mp,
             seed=cfg.seed,
         )
-        out.append((data.labels, data.feats, data.feats_labels, data.positions))
+        out.append(
+            (data.labels, data.feats, data.feats_labels, data.positions,
+             data.slide_names)
+        )
     return tuple(out)
 
 
