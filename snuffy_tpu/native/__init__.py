@@ -1,0 +1,194 @@
+"""ctypes bindings for the native host runtime (snuffy_native.cpp).
+
+Auto-builds `libsnuffy_native.so` with g++ on first use (libtiff + libjpeg,
+both in the base image). Every entry point degrades gracefully: callers
+check `available()` and fall back to PIL/pandas paths when the toolchain or
+libraries are absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "snuffy_native.cpp")
+_SO = os.path.join(_HERE, "libsnuffy_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        "-I/usr/include/x86_64-linux-gnu",
+        _SRC, "-o", _SO, "-ltiff", "-ljpeg",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _build_failed = True
+        return None
+
+    lib.slide_open.restype = ctypes.c_void_p
+    lib.slide_open.argtypes = [ctypes.c_char_p]
+    lib.slide_level_count.restype = ctypes.c_int
+    lib.slide_level_count.argtypes = [ctypes.c_void_p]
+    lib.slide_level_dimensions.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.slide_level_downsample.restype = ctypes.c_double
+    lib.slide_level_downsample.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.slide_spacing_um.restype = ctypes.c_double
+    lib.slide_spacing_um.argtypes = [ctypes.c_void_p]
+    lib.slide_read_region.restype = ctypes.c_int
+    lib.slide_read_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.slide_read_label_region.restype = ctypes.c_int
+    lib.slide_read_label_region.argtypes = lib.slide_read_region.argtypes
+    lib.slide_close.argtypes = [ctypes.c_void_p]
+    lib.jpeg_write_rgb.restype = ctypes.c_int
+    lib.jpeg_write_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.parse_float_csv.restype = ctypes.c_int
+    lib.parse_float_csv.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class NativeSlide:
+    """Pyramidal TIFF reader — the OpenSlide/ASAP replacement.
+
+    API mirrors what froc.py / the tiler need: level_count,
+    level_dimensions, level_downsample, spacing_um, read_region (RGB) and
+    read_label_region (uint8 label plane).
+    """
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.slide_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open slide {path}")
+
+    @property
+    def level_count(self) -> int:
+        return self._lib.slide_level_count(self._h)
+
+    def level_dimensions(self, level: int) -> Tuple[int, int]:
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        self._lib.slide_level_dimensions(self._h, level, ctypes.byref(w),
+                                         ctypes.byref(h))
+        return int(w.value), int(h.value)
+
+    def level_downsample(self, level: int) -> float:
+        return float(self._lib.slide_level_downsample(self._h, level))
+
+    @property
+    def spacing_um(self) -> float:
+        return float(self._lib.slide_spacing_um(self._h))
+
+    def read_region(self, level: int, x: int, y: int, w: int, h: int
+                    ) -> np.ndarray:
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.slide_read_region(
+            self._h, level, x, y, w, h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise IOError(f"slide_read_region failed rc={rc}")
+        return out
+
+    def read_label_region(self, level: int, x: int, y: int, w: int, h: int
+                          ) -> np.ndarray:
+        out = np.empty((h, w), np.uint8)
+        rc = self._lib.slide_read_label_region(
+            self._h, level, x, y, w, h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise IOError(f"slide_read_label_region failed rc={rc}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.slide_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def jpeg_write(path: str, rgb: np.ndarray, quality: int = 75) -> None:
+    lib = get_lib()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    if lib is None:
+        from PIL import Image
+
+        Image.fromarray(rgb).save(path, quality=quality)
+        return
+    rc = lib.jpeg_write_rgb(
+        path.encode(), rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rgb.shape[1], rgb.shape[0], quality,
+    )
+    if rc != 0:
+        raise IOError(f"jpeg_write_rgb failed rc={rc}")
+
+
+def parse_bag_csv_fast(path: str, max_rows: int = 65536,
+                       max_cols: int = 4096) -> Optional[np.ndarray]:
+    """Numeric CSV → float32 (rows, cols); None when the library is absent.
+    The caller slices off trailing label/position columns by schema."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((max_rows, max_cols), np.float32)
+    n_cols = ctypes.c_int()
+    rows = lib.parse_float_csv(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_rows, max_cols, ctypes.byref(n_cols), 1,
+    )
+    if rows < 0:
+        return None
+    return out[:rows, : n_cols.value].copy()

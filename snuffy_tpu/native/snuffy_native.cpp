@@ -1,0 +1,246 @@
+// snuffy_native: host-side native runtime for the TPU-native Snuffy stack.
+//
+// Replaces the reference's external C/C++ dependencies (SURVEY.md §2.15):
+//   * OpenSlide / ASAP multiresolutionimageinterface → a libtiff-based
+//     pyramidal slide+mask reader (getLevelDownsample / getUCharPatch /
+//     getSpacing equivalents; reference froc.py:93-96, roi.py:212-221,
+//     deepzoom_tiler_camelyon16.py:40-42)
+//   * PIL JPEG encode in the tiler hot loop → libjpeg encoder
+//   * pandas.read_csv in the MIL bag loader hot path (reference
+//     utils.py:138-183) → a single-pass float CSV parser.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+
+#include <tiffio.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// --------------------------------------------------------------- TIFF slides
+
+struct SlideHandle {
+  TIFF* tif = nullptr;
+  std::vector<uint32_t> widths;
+  std::vector<uint32_t> heights;
+  double spacing_um = 0.0;  // level-0 microns per pixel (0 = unknown)
+};
+
+// Open a (possibly pyramidal) TIFF. Returns an opaque handle or null.
+void* slide_open(const char* path) {
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return nullptr;
+  auto* h = new SlideHandle();
+  h->tif = tif;
+  do {
+    uint32_t w = 0, ht = 0;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &ht);
+    h->widths.push_back(w);
+    h->heights.push_back(ht);
+  } while (TIFFReadDirectory(tif));
+  TIFFSetDirectory(tif, 0);
+  float xres = 0.f;
+  uint16_t unit = RESUNIT_INCH;
+  if (TIFFGetField(tif, TIFFTAG_XRESOLUTION, &xres) && xres > 0.f) {
+    TIFFGetFieldDefaulted(tif, TIFFTAG_RESOLUTIONUNIT, &unit);
+    double um_per_unit = (unit == RESUNIT_CENTIMETER) ? 10000.0 : 25400.0;
+    h->spacing_um = um_per_unit / xres;
+  }
+  return h;
+}
+
+int slide_level_count(void* handle) {
+  return (int)((SlideHandle*)handle)->widths.size();
+}
+
+void slide_level_dimensions(void* handle, int level, uint32_t* w, uint32_t* h) {
+  auto* s = (SlideHandle*)handle;
+  *w = s->widths[level];
+  *h = s->heights[level];
+}
+
+double slide_level_downsample(void* handle, int level) {
+  auto* s = (SlideHandle*)handle;
+  return (double)s->widths[0] / (double)s->widths[level];
+}
+
+double slide_spacing_um(void* handle) {
+  return ((SlideHandle*)handle)->spacing_um;
+}
+
+// Read a (w × h) RGB region at `level`, top-left (x, y) in level coords.
+// out must hold w*h*3 bytes. Returns 0 on success.
+int slide_read_region(void* handle, int level, uint32_t x, uint32_t y,
+                      uint32_t w, uint32_t h, uint8_t* out) {
+  auto* s = (SlideHandle*)handle;
+  if (!TIFFSetDirectory(s->tif, level)) return -1;
+  TIFF* tif = s->tif;
+  uint32_t lw = s->widths[level], lh = s->heights[level];
+
+  // RGBA full-level read is simple + correct for both strip and tile
+  // layouts; for large level-0 reads use the tiled path below.
+  uint32_t tile_w = 0, tile_h = 0;
+  bool tiled = TIFFIsTiled(tif) &&
+               TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tile_w) &&
+               TIFFGetField(tif, TIFFTAG_TILELENGTH, &tile_h);
+
+  if (tiled) {
+    std::vector<uint32_t> tile(tile_w * tile_h);
+    for (uint32_t ty = (y / tile_h) * tile_h; ty < y + h && ty < lh;
+         ty += tile_h) {
+      for (uint32_t tx = (x / tile_w) * tile_w; tx < x + w && tx < lw;
+           tx += tile_w) {
+        if (!TIFFReadRGBATile(tif, tx, ty, tile.data())) return -2;
+        // RGBA tile rows are bottom-up; flip while copying the overlap.
+        for (uint32_t ry = 0; ry < tile_h; ++ry) {
+          uint32_t gy = ty + ry;
+          if (gy < y || gy >= y + h || gy >= lh) continue;
+          const uint32_t* src = tile.data() + (tile_h - 1 - ry) * tile_w;
+          for (uint32_t rx = 0; rx < tile_w; ++rx) {
+            uint32_t gx = tx + rx;
+            if (gx < x || gx >= x + w || gx >= lw) continue;
+            uint32_t px = src[rx];
+            uint8_t* dst = out + ((gy - y) * (size_t)w + (gx - x)) * 3;
+            dst[0] = TIFFGetR(px);
+            dst[1] = TIFFGetG(px);
+            dst[2] = TIFFGetB(px);
+          }
+        }
+      }
+    }
+    return 0;
+  }
+
+  // Strip layout: read the whole level once (masks/thumbnails are small).
+  std::vector<uint32_t> full((size_t)lw * lh);
+  if (!TIFFReadRGBAImageOriented(tif, lw, lh, full.data(),
+                                 ORIENTATION_TOPLEFT, 0))
+    return -3;
+  for (uint32_t ry = 0; ry < h; ++ry) {
+    uint32_t gy = y + ry;
+    if (gy >= lh) break;
+    for (uint32_t rx = 0; rx < w; ++rx) {
+      uint32_t gx = x + rx;
+      if (gx >= lw) break;
+      uint32_t px = full[(size_t)gy * lw + gx];
+      uint8_t* dst = out + ((size_t)ry * w + rx) * 3;
+      dst[0] = TIFFGetR(px);
+      dst[1] = TIFFGetG(px);
+      dst[2] = TIFFGetB(px);
+    }
+  }
+  return 0;
+}
+
+// Label masks store the class id in the red channel; convenience single-
+// channel read (ASAP getUCharPatch equivalent).
+int slide_read_label_region(void* handle, int level, uint32_t x, uint32_t y,
+                            uint32_t w, uint32_t h, uint8_t* out) {
+  std::vector<uint8_t> rgb((size_t)w * h * 3);
+  int rc = slide_read_region(handle, level, x, y, w, h, rgb.data());
+  if (rc != 0) return rc;
+  for (size_t i = 0; i < (size_t)w * h; ++i) out[i] = rgb[i * 3];
+  return 0;
+}
+
+void slide_close(void* handle) {
+  auto* s = (SlideHandle*)handle;
+  if (s->tif) TIFFClose(s->tif);
+  delete s;
+}
+
+// ---------------------------------------------------------------- JPEG write
+
+int jpeg_write_rgb(const char* path, const uint8_t* rgb, int w, int h,
+                   int quality);
+
+// ------------------------------------------------------------- CSV parsing
+
+// Parse a numeric CSV (optionally with a header row) into float32.
+// Returns rows parsed, sets *n_cols. `out` must hold max_rows*max_cols.
+// Non-numeric cells parse as 0; the caller handles label/position columns
+// separately (they are the trailing columns by schema).
+int parse_float_csv(const char* path, float* out, int max_rows, int max_cols,
+                    int* n_cols, int skip_header) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (fread(buf.data(), 1, size, f) != (size_t)size) {
+    fclose(f);
+    return -2;
+  }
+  fclose(f);
+  buf[size] = '\0';
+
+  char* p = buf.data();
+  char* end = buf.data() + size;
+  int row = 0, cols = 0;
+  if (skip_header) {
+    while (p < end && *p != '\n') ++p;
+    if (p < end) ++p;
+  }
+  while (p < end && row < max_rows) {
+    if (*p == '\n' || *p == '\r') {
+      ++p;
+      continue;
+    }
+    int col = 0;
+    while (p < end && *p != '\n') {
+      char* next = p;
+      float v = strtof(p, &next);
+      if (col < max_cols) out[(size_t)row * max_cols + col] = v;
+      ++col;
+      p = next;
+      while (p < end && *p != ',' && *p != '\n' && *p != '\r') ++p;
+      if (p < end && *p == ',') ++p;
+      while (p < end && *p == '\r') ++p;
+    }
+    if (p < end) ++p;
+    if (col > cols) cols = col;
+    ++row;
+  }
+  *n_cols = cols;
+  return row;
+}
+
+}  // extern "C"
+
+// --------------------------------------------------------------------------
+// libjpeg encoder (separate section to keep the C ABI block clean above).
+
+#include <jpeglib.h>
+
+extern "C" int jpeg_write_rgb(const char* path, const uint8_t* rgb, int w,
+                              int h, int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = (JSAMPROW)(rgb + (size_t)cinfo.next_scanline * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}

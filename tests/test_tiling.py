@@ -1,0 +1,125 @@
+"""Tiling stage: native slide reader, edge filter, XML labels, and the
+CAMELYON16 tiler CLI end-to-end on a synthetic pyramidal TIFF."""
+
+import os
+
+import numpy as np
+import pytest
+
+from snuffy_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def make_slide(path, size=1024, tissue_box=(256, 768)):
+    """Level-0 slide: white background, textured 'tissue' block."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = np.full((size, size, 3), 245, np.uint8)
+    a, b = tissue_box
+    arr[a:b, a:b] = (rng.random((b - a, b - a, 3)) * 180 + 40).astype(np.uint8)
+    im0 = Image.fromarray(arr)
+    im1 = im0.resize((size // 2, size // 2))
+    im0.save(path, save_all=True, append_images=[im1])
+    return arr
+
+
+def write_xml(path, polygon):
+    rows = "".join(
+        f'<Coordinate Order="{i}" X="{x}" Y="{y}"/>'
+        for i, (x, y) in enumerate(polygon)
+    )
+    xml = (
+        "<ASAP_Annotations><Annotations>"
+        f'<Annotation Name="_0" Type="Polygon" PartOfGroup="Tumor">'
+        f"<Coordinates>{rows}</Coordinates></Annotation>"
+        "</Annotations></ASAP_Annotations>"
+    )
+    with open(path, "w") as f:
+        f.write(xml)
+
+
+def test_edge_energy_separates_tissue_from_background():
+    from snuffy_tpu.tiling.deepzoom import edge_energy
+
+    rng = np.random.default_rng(0)
+    background = np.full((64, 64, 3), 245, np.uint8)
+    tissue = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    assert edge_energy(background) < 1.0
+    assert edge_energy(tissue) > 20.0
+
+
+def test_tile_slide_with_labels(tmp_path):
+    from snuffy_tpu.tiling.deepzoom import TilerConfig, tile_slide
+
+    slide_path = str(tmp_path / "tumor_001.tif")
+    make_slide(slide_path)
+    xml_path = str(tmp_path / "tumor_001.xml")
+    # tumor polygon well inside tile (1,1) — ends at 450 so it does not
+    # touch the x=512 tile boundary (the reference's shapely `intersects`
+    # counts boundary touches as tumor; so does the rasterized overlap)
+    write_xml(xml_path, [(256, 256), (450, 256), (450, 450), (256, 450)])
+
+    cfg = TilerConfig(
+        tile_size=256, objective_power=20, base_mag=20,
+        background_threshold=5.0, workers=0, name_with_level=True,
+    )
+    out = str(tmp_path / "out")
+    kept = tile_slide(slide_path, out, cfg, annotation_xml=xml_path)
+    # tissue spans rows/cols 1..2 of the 4×4 grid; background tiles dropped
+    names = sorted(os.listdir(out))
+    assert len(names) == len(kept)
+    assert all(n.endswith(".jpeg") and "-" in n for n in names)
+    labels = {(c, r): lab for c, r, lab in kept}
+    assert labels[(1, 1)] == 1        # inside the tumor polygon
+    assert labels.get((2, 2), 0) == 0  # tissue, clearly outside the polygon
+    assert (0, 0) not in labels        # background filtered
+
+    from snuffy_tpu.tiling.deepzoom import append_tile_labels
+
+    csv = str(tmp_path / "tile_label.csv")
+    append_tile_labels(csv, "tumor_001", kept)
+    lines = open(csv).read().strip().splitlines()
+    assert f"tumor_001_1_1,1" in lines
+
+
+def test_magnification_downsampling(tmp_path):
+    """objective 40 → base 20 must read at downsample 2 (level 1 here)."""
+    from snuffy_tpu.native import NativeSlide
+    from snuffy_tpu.tiling.deepzoom import pick_read_level
+
+    slide_path = str(tmp_path / "s.tif")
+    make_slide(slide_path)
+    s = NativeSlide(slide_path)
+    level, residual = pick_read_level(s, target_downsample=2.0)
+    assert level == 1 and residual == pytest.approx(1.0)
+    level0, residual0 = pick_read_level(s, target_downsample=1.0)
+    assert level0 == 0 and residual0 == pytest.approx(1.0)
+    s.close()
+
+
+def test_camelyon16_tiler_cli(tmp_path, monkeypatch):
+    import deepzoom_tiler_camelyon16 as cli
+
+    base = tmp_path / "datasets" / "camelyon16"
+    (base / "0_normal").mkdir(parents=True)
+    (base / "1_tumor").mkdir(parents=True)
+    (base / "annotations").mkdir()
+    make_slide(str(base / "1_tumor" / "tumor_001.tif"))
+    make_slide(str(base / "0_normal" / "normal_001.tif"))
+    write_xml(str(base / "annotations" / "tumor_001.xml"),
+              [(256, 256), (450, 256), (450, 450), (256, 450)])
+
+    cli.main([
+        "-j", "0", "-t", "5", "-o", "20", "-b", "20",
+        "--datasets_path", str(tmp_path / "datasets"),
+    ])
+    single = base / "single"
+    assert (single / "1_tumor" / "tumor_001").is_dir()
+    assert (single / "0_normal" / "normal_001").is_dir()
+    assert (base / "tile_label.csv").exists()
+    content = open(base / "tile_label.csv").read()
+    assert "tumor_001_1_1,1" in content
