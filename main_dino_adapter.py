@@ -133,9 +133,29 @@ def train_dino(args):
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
-    it = 0
-    key = jax.random.PRNGKey(args.seed)
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    ckpt = os.path.join(args.output_dir, "checkpoint.msgpack")
+    if os.path.exists(ckpt):
+        # restart_from_checkpoint equivalent (reference
+        # dino_adapter/utils.py:157-189): restore model state + epoch.
+        from flax import serialization
+
+        template = {
+            "student": state.student, "teacher": state.teacher,
+            "center": state.center, "step": state.step, "epoch": 0,
+        }
+        with open(ckpt, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        state = state._replace(
+            student=payload["student"], teacher=payload["teacher"],
+            center=payload["center"], step=payload["step"],
+        )
+        start_epoch = int(payload["epoch"]) + 1
+        print(f"resumed from {ckpt} at epoch {start_epoch}")
+
+    it = start_epoch * iters
+    key = jax.random.PRNGKey(args.seed + start_epoch)
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for bi, batch in enumerate(batcher.epoch()):

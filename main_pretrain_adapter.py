@@ -128,9 +128,21 @@ def train_mae(args):
 
     step = trainer.get_step()
     os.makedirs(args.output_dir, exist_ok=True)
-    key = jax.random.PRNGKey(args.seed)
+    start_epoch = 0
+    rolling = os.path.join(args.output_dir, "checkpoint.msgpack")
+    if os.path.exists(rolling):
+        from flax import serialization
+
+        template = {"params": state.params, "step": state.step, "epoch": 0}
+        with open(rolling, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        state = state._replace(params=payload["params"], step=payload["step"])
+        start_epoch = int(payload["epoch"]) + 1
+        print(f"resumed from {rolling} at epoch {start_epoch}")
+
+    key = jax.random.PRNGKey(args.seed + start_epoch)
     best_val, best_path = float("inf"), None
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for bi, batch in enumerate(batcher.epoch()):
@@ -170,6 +182,14 @@ def train_mae(args):
         print(json.dumps(row))
         with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
             f.write(json.dumps(row) + "\n")
+
+        # rolling resume checkpoint (every epoch)
+        from flax import serialization
+
+        with open(rolling, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": state.params, "step": state.step, "epoch": epoch}
+            ))
 
         # best-val checkpoint with previous-best deletion
         # (reference main_pretrain_adapter.py:336-356).

@@ -106,6 +106,12 @@ class MILTrainConfig:
     camelyon16_reference: str = "datasets/camelyon16/reference.csv"
     camelyon16_mask_path: str = "datasets/camelyon16/masks"
     run_name: Optional[str] = None
+    # ROC dump (reference train.py:365-372: saves labels+predictions npz
+    # under ROC_PATH/<roc_run_name>/<roc_run_epoch>.npz)
+    roc_path: str = "roc/"
+    roc_run_name: Optional[str] = None
+    roc_run_epoch: Optional[int] = None
+    roc_data_split: str = "test"
 
 
 def parse_literal_flag(value):

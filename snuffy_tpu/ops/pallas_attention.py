@@ -13,15 +13,19 @@ softmaxes it exactly (S always fits in one block — Λ ∈ {128..1024}), and
 accumulates p_blockᵀ @ v_block into an f32 VMEM accumulator. Nothing of
 size N×S ever leaves the chip.
 
-Both matmuls are MXU-shaped: (TN, dk) @ (dk, S) and (S, TN) @ (TN, dk).
-dk is zero-padded to a lane multiple (128) by the wrapper; zero tail dims
-contribute nothing to either product.
+Attention-probability dropout (the reference's bernoulli-on-p,
+snuffy.py:167/181) runs INSIDE the kernel: the keep mask is a counter-based
+murmur-style integer hash of (head, row, col, seed) — pure int32 arithmetic,
+so it is bitwise identical between forward and backward recomputation and
+works on every backend (the TPU hardware PRNG has no CPU interpreter
+lowering).
+
+Masks arrive as float32 and masking is arithmetic — Mosaic rejects i1
+vector reshapes ("Insertion of minor dim that is not a no-op...").
 
 The backward recomputes p per N-tile (flash-style) and accumulates
-dq/dk/dv in the same pass — see `_bwd_kernel`. No dropout in-kernel:
-the training path applies attention dropout only when rate > 0, in which
-case the wrapper falls back to the XLA oracle (dropout needs the
-materialized p anyway for the reference's bernoulli-on-p semantics).
+dq/dk/dv in one pass. Both matmuls per tile are MXU-shaped; dk is
+zero-padded to a 128 lane multiple by the wrapper.
 """
 
 from __future__ import annotations
@@ -36,17 +40,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e30  # used instead of -inf: keeps 0·mask arithmetic finite
 
+# murmur3-style mixing constants (wrapped int32 values as Python ints —
+# jnp arrays at module level would be captured as tracer constants by the
+# kernels)
+_C1 = -1640531527   # 0x9E3779B9
+_C2 = -2048144789   # 0x85EBCA6B
+_C3 = -1028477387   # 0xC2B2AE35
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _keep_factor(seed, h_idx, i_idx, tile_n: int, s: int, rate: float):
+    """(TN, S) float32 keep/(1−rate) mask from a counter-based hash.
+
+    Deterministic in (seed, head, global row, col) — regenerated bit-exactly
+    in the backward pass.
+    """
+    c1 = jnp.int32(_C1)
+    c2 = jnp.int32(_C2)
+    c3 = jnp.int32(_C3)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_n, s), 0) + i_idx * tile_n
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, s), 1)
+    x = (row * c1) ^ (col * c2) ^ (seed + h_idx * c3)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * c2
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * c3
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    u = (x & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / 16777216.0)
+    keep = (u >= rate).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
+
+
+def _softmax_block(q, k, kmask, scale):
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                          # (TN, S)
+    scores = scores * kmask[None, :] + NEG_BIG * (1.0 - kmask[None, :])
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 # ----------------------------------------------------------------- forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, out_ref, acc_ref, *, scale):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref,
+                out_ref, acc_ref, *, scale, rate):
     """Grid (h, N/TN). Blocks: q/v (TN, dk), k (S, dk), masks (1, ·),
     out (S, dk). acc_ref: f32 (S, dk) VMEM scratch."""
+    hh = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -56,18 +105,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, out_ref, acc_ref, *, 
     q = q_ref[0]                       # (TN, dk)
     k = k_ref[0]                       # (S, dk)
     v = v_ref[0]                       # (TN, dk)
-    kmask = kmask_ref[0, :]            # (S,) float {0,1} — Mosaic dislikes
-    qmask = qmask_ref[0, :]            # (TN,)  i1 vector reshapes, so masks
-                                       # arrive as f32 and masking is
-                                       # arithmetic (32-bit ops only).
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                          # (TN, S)
-    scores = scores * kmask[None, :] + NEG_BIG * (1.0 - kmask[None, :])
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    kmask = kmask_ref[0, :]            # (S,) float {0,1}
+    qmask = qmask_ref[0, :]            # (TN,)
+
+    p = _softmax_block(q, k, kmask, scale)
     p = p * qmask[:, None]             # dead query rows contribute 0
+    if rate > 0.0:
+        p = p * _keep_factor(seed_ref[0], hh, i, q.shape[0], k.shape[0], rate)
 
     acc_ref[:] += jax.lax.dot_general(
         p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -78,19 +122,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, out_ref, acc_ref, *, 
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _fwd_call(q, k, v, kmask, qmask, *, scale, tile_n):
+def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n):
     h, n, dk = q.shape
     s = k.shape[1]
     grid = (h, pl.cdiv(n, tile_n))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
         out_shape=jax.ShapeDtypeStruct((h, s, dk), q.dtype),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
@@ -111,24 +152,24 @@ def _fwd_call(q, k, v, kmask, qmask, *, scale, tile_n):
             transcendentals=h * n * s,
         ),
         interpret=_interpret_default(),
-    )(q, k, v, kmask, qmask)
+    )(seed, q, k, v, kmask, qmask)
 
 
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(
-    q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
-    dq_ref, dk_ref, dv_ref, dk_acc_ref, *, scale
-):
-    """Grid (h, N/TN). g: (S, dk) cotangent of out. Recompute p per tile.
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc_ref, *, scale, rate):
+    """Grid (h, N/TN). g: (S, dk) cotangent of out. Recompute σ per tile.
 
-      dv_i  = Σ_j p_ij g_j                    (TN, dk)
-      dp_ij = v_i · g_j                       (TN, S)
-      ds    = p ⊙ (dp − rowsum(p ⊙ dp))       softmax vjp, rowsum = v·dv
+    With factor f = qmask·keep/(1−rate) and p̃ = σ ⊙ f:
+      dv_i  = Σ_j p̃_ij g_j                    (TN, dk)
+      dσ    = (v @ gᵀ) ⊙ f                    (TN, S)
+      ds    = σ ⊙ (dσ − rowsum(σ ⊙ dσ))       softmax vjp
       dq_i  = scale · Σ_j ds_ij k_j           (TN, dk)
-      dk_j  = scale · Σ_i ds_ij q_i           (S, dk), accumulated over tiles
+      dk_j  = scale · Σ_i ds_ij q_i           (S, dk), accumulated
     """
+    hh = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -142,23 +183,21 @@ def _bwd_kernel(
     kmask = kmask_ref[0, :]
     qmask = qmask_ref[0, :]
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    scores = scores * kmask[None, :] + NEG_BIG * (1.0 - kmask[None, :])
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    p = p * qmask[:, None]                   # (TN, S)
+    sigma = _softmax_block(q, k, kmask, scale)
+    factor = qmask[:, None]
+    if rate > 0.0:
+        factor = factor * _keep_factor(seed_ref[0], hh, i, q.shape[0],
+                                       k.shape[0], rate)
+    p = sigma * factor                       # (TN, S)
 
     dv = jax.lax.dot_general(                # p @ g : (TN, dk)
         p, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dp = jax.lax.dot_general(                # v @ gᵀ : (TN, S)
+    dsig = jax.lax.dot_general(              # v @ gᵀ : (TN, S)
         v, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    rowsum = jnp.sum(v.astype(jnp.float32) * dv, axis=-1, keepdims=True)
-    ds = p * (dp - rowsum)                   # (TN, S)
+    ) * factor
+    rowsum = jnp.sum(sigma * dsig, axis=-1, keepdims=True)
+    ds = sigma * (dsig - rowsum)             # (TN, S)
 
     dq_ref[0] = (scale * jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -173,12 +212,12 @@ def _bwd_kernel(
         dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
 
 
-def _bwd_call(q, k, v, kmask, qmask, g, *, scale, tile_n):
+def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n):
     h, n, dk = q.shape
     s = k.shape[1]
     grid = (h, pl.cdiv(n, tile_n))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
         out_shape=(
             jax.ShapeDtypeStruct((h, n, dk), q.dtype),
             jax.ShapeDtypeStruct((h, s, dk), k.dtype),
@@ -186,6 +225,7 @@ def _bwd_call(q, k, v, kmask, qmask, g, *, scale, tile_n):
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
@@ -209,28 +249,29 @@ def _bwd_call(q, k, v, kmask, qmask, g, *, scale, tile_n):
         ),
         scratch_shapes=[pltpu.VMEM((s, dk), jnp.float32)],
         interpret=_interpret_default(),
-    )(q, k, v, kmask, qmask, g)
+    )(seed, q, k, v, kmask, qmask, g)
 
 
 # --------------------------------------------------------------- public op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _sparse_attention_padded(q, k, v, kmask, qmask, scale, tile_n):
-    return _fwd_call(q, k, v, kmask, qmask, scale=scale, tile_n=tile_n)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _sparse_attention_padded(seed, q, k, v, kmask, qmask, scale, rate, tile_n):
+    return _fwd_call(seed, q, k, v, kmask, qmask, scale=scale, rate=rate,
+                     tile_n=tile_n)
 
 
-def _sa_fwd(q, k, v, kmask, qmask, scale, tile_n):
-    out = _fwd_call(q, k, v, kmask, qmask, scale=scale, tile_n=tile_n)
-    return out, (q, k, v, kmask, qmask)
+def _sa_fwd(seed, q, k, v, kmask, qmask, scale, rate, tile_n):
+    out = _fwd_call(seed, q, k, v, kmask, qmask, scale=scale, rate=rate,
+                    tile_n=tile_n)
+    return out, (seed, q, k, v, kmask, qmask)
 
 
-def _sa_bwd(scale, tile_n, res, g):
-    q, k, v, kmask, qmask = res
-    dq, dk, dv = _bwd_call(
-        q, k, v, kmask, qmask, g, scale=scale, tile_n=tile_n
-    )
-    return dq, dk, dv, None, None
+def _sa_bwd(scale, rate, tile_n, res, g):
+    seed, q, k, v, kmask, qmask = res
+    dq, dk, dv = _bwd_call(seed, q, k, v, kmask, qmask, g, scale=scale,
+                           rate=rate, tile_n=tile_n)
+    return None, dq, dk, dv, None, None
 
 
 _sparse_attention_padded.defvjp(_sa_fwd, _sa_bwd)
@@ -243,6 +284,8 @@ def fused_inverted_sparse_attention(
     slot_valid: jnp.ndarray,  # (S,) bool
     q_valid: jnp.ndarray,     # (N,) bool
     *,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,  # scalar int32
     tile_n: int = 512,
 ) -> jnp.ndarray:
     """Fused (no p materialization) inverted sparse attention → (h, S, dk).
@@ -268,6 +311,12 @@ def fused_inverted_sparse_attention(
         q_valid.astype(jnp.float32), (0, n_p - n)
     ).reshape(1, n_p)
 
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    seed = jnp.reshape(dropout_seed.astype(jnp.int32), (1,))
+
     scale = 1.0 / (dk ** 0.5)
-    out = _sparse_attention_padded(qp, kp, vp, kmask, qmask, scale, tile_n)
+    out = _sparse_attention_padded(
+        seed, qp, kp, vp, kmask, qmask, scale, float(dropout_rate), tile_n
+    )
     return out[:, :s, :dk]

@@ -190,6 +190,18 @@ class Runner:
             scores, labels_arr, 0.5, n_bins=self.cfg.bins, logits=False
         )
 
+        # ROC curve dump (reference train.py:365-372).
+        if self.cfg.roc_run_name and self.cfg.roc_data_split in prefix:
+            roc_dir = os.path.join(self.cfg.roc_path, self.cfg.roc_run_name)
+            os.makedirs(roc_dir, exist_ok=True)
+            np.savez(
+                os.path.join(
+                    roc_dir, f"{self.cfg.roc_run_epoch or epoch}.npz"
+                ),
+                labels=labels_arr,
+                predictions=scores,
+            )
+
         # CAMELYON16 FROC localization at test time (train.py:336-349,
         # 392-410): instance scores above the optimal feat threshold become
         # level-0 detections at patch centers.

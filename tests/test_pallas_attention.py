@@ -66,3 +66,49 @@ def test_fused_dead_rows_and_slots_are_zero():
     out = fused_inverted_sparse_attention(q, k, v, k_mask, q_mask, tile_n=64)
     # Slots beyond s_valid aggregate nothing.
     np.testing.assert_allclose(np.asarray(out)[:, 9:, :], 0.0, atol=1e-6)
+
+
+def test_fused_dropout_determinism_and_scaling():
+    import jax.numpy as jnp
+
+    q, k, v, k_mask, q_mask = make_inputs(h=2, n=256, s=16, dk=16, seed=5)
+    seed_a = jnp.asarray(123, jnp.int32)
+    seed_b = jnp.asarray(456, jnp.int32)
+
+    base = fused_inverted_sparse_attention(q, k, v, k_mask, q_mask, tile_n=128)
+    da1 = fused_inverted_sparse_attention(
+        q, k, v, k_mask, q_mask, dropout_rate=0.5, dropout_seed=seed_a,
+        tile_n=128)
+    da2 = fused_inverted_sparse_attention(
+        q, k, v, k_mask, q_mask, dropout_rate=0.5, dropout_seed=seed_a,
+        tile_n=128)
+    db = fused_inverted_sparse_attention(
+        q, k, v, k_mask, q_mask, dropout_rate=0.5, dropout_seed=seed_b,
+        tile_n=128)
+
+    np.testing.assert_array_equal(np.asarray(da1), np.asarray(da2))
+    assert not np.allclose(np.asarray(da1), np.asarray(db))
+    assert not np.allclose(np.asarray(da1), np.asarray(base))
+    # inverted-scaling keeps the aggregate roughly unbiased
+    ratio = np.abs(np.asarray(da1)).mean() / np.abs(np.asarray(base)).mean()
+    assert 0.6 < ratio < 1.6
+
+    def loss(q, k, v):
+        out = fused_inverted_sparse_attention(
+            q, k, v, k_mask, q_mask, dropout_rate=0.5, dropout_seed=seed_a,
+            tile_n=128)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_dropout_keep_rate():
+    """Empirical keep fraction of the hash mask ≈ 1 − rate."""
+    from snuffy_tpu.ops.pallas_attention import _keep_factor
+    import jax.numpy as jnp
+
+    f = _keep_factor(jnp.int32(7), jnp.int32(0), jnp.int32(0), 512, 128, 0.3)
+    keep_frac = float((np.asarray(f) > 0).mean())
+    assert abs(keep_frac - 0.7) < 0.02

@@ -137,6 +137,9 @@ def build_config(args):
         cv_current_fold=args.cv_current_fold,
         cv_valid_ratio=args.cv_valid_ratio,
         run_name=args.wandb_run,
+        roc_run_name=args.roc_run_name,
+        roc_run_epoch=args.roc_run_epoch,
+        roc_data_split=args.roc_data_split,
     )
 
 
