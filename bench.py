@@ -37,6 +37,7 @@ def main():
             encoder_dropout=0.0,
             activation="gelu",
             depth=2,
+            compute_dtype="bfloat16",
         ),
         optim=OptimizerConfig(optimizer="adamw", lr=2e-2, weight_decay=5e-2),
         soft_average=True,
@@ -78,7 +79,7 @@ def main():
             {
                 "metric": "snuffy_mil_train_bags_per_sec_10kpatch",
                 "value": round(bags_per_sec, 3),
-                "unit": "bags/s (fwd+bwd+opt, N=10k pad 16384, d=384, depth=2)",
+                "unit": "bags/s (fwd+bwd+opt, N=10k pad 16384, d=384, depth=2, bf16)",
                 "vs_baseline": round(bags_per_sec / baseline, 3),
             }
         )

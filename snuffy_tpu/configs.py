@@ -45,6 +45,9 @@ class SnuffyModelConfig:
     weight_init_b: str = "xavier_normal"
     use_pallas: bool = True        # use the Pallas sparse-attention kernel on TPU
     param_dtype: str = "float32"
+    # activation/matmul dtype; params and losses stay float32. 'bfloat16'
+    # is the TPU-native choice (MXU runs bf16 at 2x float32 throughput).
+    compute_dtype: str = "float32"
 
     @property
     def top_share(self) -> float:

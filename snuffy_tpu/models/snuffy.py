@@ -60,13 +60,18 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
-def _dense(features: int, init_name: str, name: str) -> nn.Dense:
+def _dense(features: int, init_name: str, name: str, dtype=None) -> nn.Dense:
     return nn.Dense(
         features,
         kernel_init=get_weight_init(init_name),
         bias_init=jax.nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
+
+
+def compute_dtype_of(cfg: SnuffyModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
 class FCLayer(nn.Module):
@@ -103,12 +108,14 @@ class MultiHeadedAttention(nn.Module):
         dk = d // h
         init = cfg.weight_init_b
 
+        cdt = compute_dtype_of(cfg)
+
         def split_heads(t):  # (L, d) -> (h, L, dk)
             return t.reshape(t.shape[0], h, dk).transpose(1, 0, 2)
 
-        q = split_heads(_dense(d, init, "wq")(query_src))
-        k = split_heads(_dense(d, init, "wk")(key_tokens))
-        v = split_heads(_dense(d, init, "wv")(value_src))
+        q = split_heads(_dense(d, init, "wq", cdt)(query_src))
+        k = split_heads(_dense(d, init, "wk", cdt)(key_tokens))
+        v = split_heads(_dense(d, init, "wv", cdt)(value_src))
 
         drop_rng = None
         rate = cfg.attention_dropout
@@ -145,7 +152,7 @@ class MultiHeadedAttention(nn.Module):
             )
         # (h, S, dk) -> (S, d)
         out = out.transpose(1, 0, 2).reshape(out.shape[1], d)
-        return _dense(d, init, "wo")(out), p_attn
+        return _dense(d, init, "wo", cdt)(out), p_attn
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -157,11 +164,13 @@ class PositionwiseFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.cfg
+        cdt = compute_dtype_of(cfg)
         act = ACTIVATIONS[cfg.activation]
-        h = _dense(cfg.feats_size * cfg.mlp_multiplier, cfg.weight_init_b, "w1")(x)
+        h = _dense(cfg.feats_size * cfg.mlp_multiplier, cfg.weight_init_b,
+                   "w1", cdt)(x)
         h = act(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        return _dense(cfg.feats_size, cfg.weight_init_b, "w2")(h)
+        return _dense(cfg.feats_size, cfg.weight_init_b, "w2", cdt)(h)
 
 
 class EncoderLayer(nn.Module):

@@ -164,3 +164,30 @@ def test_milnet_gradients_finite():
     # The b_classifier attention weights must receive gradient.
     g_wq = grads["b_classifier"]["encoder"]["layer_0"]["attn"]["wq"]["kernel"]
     assert float(jnp.abs(g_wq).sum()) > 0
+
+
+def test_milnet_bfloat16_close_to_float32():
+    """bf16 compute path tracks f32 within bf16 tolerance; output dtypes and
+    losses stay float32-safe."""
+    base = dict(
+        feats_size=64, num_classes=1, num_heads=4, big_lambda=16,
+        random_patch_share=0.0, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=2,
+    )
+    cfg32 = SnuffyModelConfig(**base)
+    cfg16 = SnuffyModelConfig(**base, compute_dtype="bfloat16")
+    n = 96
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n, 64)).astype(np.float32)
+    mask = np.ones(n, bool)
+    params = init_milnet_params(cfg32, seed=1, n_example=n)
+
+    ins32, bag32, _, _ = _apply(cfg32, params, feats, mask)
+    ins16, bag16, _, _ = _apply(cfg16, params, feats, mask)
+    np.testing.assert_allclose(
+        np.asarray(bag16, np.float32), np.asarray(bag32), rtol=0.1, atol=0.05
+    )
+    # instance logits are computed in f32 (the i_classifier is not cast)
+    np.testing.assert_allclose(
+        np.asarray(ins16), np.asarray(ins32), rtol=1e-4, atol=1e-5
+    )
