@@ -89,15 +89,16 @@ class BClassifier(nn.Module):
         a = jax.nn.softmax(scores, axis=0)                 # column softmax
         b = a.T @ v                                         # (C, V)
 
-        # per-class Conv1d(kernel=input_size) ≡ a (C, V) weight row + bias
-        # per class applied to its own bag vector (reference dsmil.py:70,88).
+        # Conv1d(C→C, kernel=input_size) over the (1, C, V) bag matrix:
+        # each output class mixes ALL class rows of B
+        # (reference dsmil.py:70,88-90).
         w = self.param(
             "fcc_kernel", nn.initializers.lecun_normal(),
-            (self.num_classes, b.shape[1]),
+            (self.num_classes, self.num_classes, b.shape[1]),
         )
         bias = self.param("fcc_bias", nn.initializers.zeros,
                           (self.num_classes,))
-        bag_logits = jnp.sum(b * w, axis=1) + bias          # (C,)
+        bag_logits = jnp.einsum("ocv,cv->o", w, b) + bias    # (C,)
         return bag_logits, a, b
 
 

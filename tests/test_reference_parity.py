@@ -1,0 +1,291 @@
+"""Golden parity against the actual PyTorch reference implementation.
+
+These tests import the reference repo (read-only, mounted at
+/root/reference) as a torch oracle, copy its randomly-initialized weights
+into the flax models, and compare forward outputs on identical bags. They
+skip automatically when the reference checkout or torch is unavailable.
+
+Determinism: ρ=0 (no random share) makes the binary Snuffy selection a pure
+top-k, so both frameworks compute the same function.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REF)
+    import dsmil as ref_dsmil
+    import snuffy as ref_snuffy
+
+    yield ref_snuffy, ref_dsmil
+    sys.path.remove(REF)
+
+
+def _t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def snuffy_ref_to_flax(sd, depth):
+    """Reference state dict → my flax param tree (torch (out,in) → (in,out))."""
+    names = ["wq", "wk", "wv", "wo"]
+    enc = {}
+    for i in range(depth):
+        p = f"b_classifier.encoder.layers.{i}"
+        layer = {
+            "attn": {
+                names[j]: {
+                    "kernel": _t2n(sd[f"{p}.self_attn.linears.{j}.weight"]).T,
+                    "bias": _t2n(sd[f"{p}.self_attn.linears.{j}.bias"]),
+                }
+                for j in range(4)
+            },
+            "ff": {
+                "w1": {"kernel": _t2n(sd[f"{p}.feed_forward.w_1.weight"]).T,
+                       "bias": _t2n(sd[f"{p}.feed_forward.w_1.bias"])},
+                "w2": {"kernel": _t2n(sd[f"{p}.feed_forward.w_2.weight"]).T,
+                       "bias": _t2n(sd[f"{p}.feed_forward.w_2.bias"])},
+            },
+            "ln_attn": {"scale": _t2n(sd[f"{p}.sublayer.0.norm.weight"]),
+                        "bias": _t2n(sd[f"{p}.sublayer.0.norm.bias"])},
+            "ln_ff": {"scale": _t2n(sd[f"{p}.sublayer.1.norm.weight"]),
+                      "bias": _t2n(sd[f"{p}.sublayer.1.norm.bias"])},
+        }
+        enc[f"layer_{i}"] = layer
+    enc["ln_final"] = {
+        "scale": _t2n(sd["b_classifier.encoder.norm.weight"]),
+        "bias": _t2n(sd["b_classifier.encoder.norm.bias"]),
+    }
+    return {
+        "i_classifier": {"fc": {
+            "kernel": _t2n(sd["i_classifier.fc.0.weight"]).T,
+            "bias": _t2n(sd["i_classifier.fc.0.bias"]),
+        }},
+        "b_classifier": {
+            "encoder": enc,
+            "linear": {"kernel": _t2n(sd["b_classifier.linear.weight"]).T,
+                       "bias": _t2n(sd["b_classifier.linear.bias"])},
+        },
+    }
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_snuffy_binary_forward_parity(ref_modules, depth):
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.models.snuffy import MILNet
+
+    ref_snuffy, _ = ref_modules
+    d, heads, lam, n = 32, 4, 10, 40
+    torch.manual_seed(0)
+    i_cls = ref_snuffy.FCLayer(in_size=d, out_size=1)
+    attn = ref_snuffy.MultiHeadedAttention(heads, d)
+    ff = ref_snuffy.PositionwiseFeedForward(d, d * 2, "relu", 0.0)
+    b_cls = ref_snuffy.BClassifier(
+        ref_snuffy.Encoder(
+            ref_snuffy.EncoderLayer(
+                d, copy.deepcopy(attn), copy.deepcopy(ff), 0.0, lam, 0.0
+            ),
+            depth,
+        ),
+        1, d,
+    )
+    ref_model = ref_snuffy.MILNet(i_cls, b_cls).eval()
+    # kill attention-prob dropout (train-mode-only anyway; eval() disables)
+
+    rng = np.random.default_rng(0)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    with torch.no_grad():
+        # the reference trainer feeds (1, N, D) bags (train.py:255-256)
+        ref_ins, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=1, num_heads=heads, big_lambda=lam,
+        random_patch_share=0.0, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth, use_pallas=False,
+    )
+    params = snuffy_ref_to_flax(ref_model.state_dict(), depth)
+    model = MILNet(cfg)
+    ins, bag_logits, _ = model.apply(
+        {"params": params},
+        jnp.asarray(bag),
+        jnp.ones((n,), bool),
+        True,
+        rngs={"sparse": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(ins), _t2n(ref_ins).reshape(n, 1), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), _t2n(ref_bag).reshape(-1),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_snuffy_parity_with_pallas_kernel(ref_modules):
+    """Same comparison through the fused kernel path (interpret on CPU)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.models.snuffy import MILNet
+
+    ref_snuffy, _ = ref_modules
+    d, heads, lam, n = 32, 2, 8, 30
+    torch.manual_seed(1)
+    ref_model = ref_snuffy.MILNet(
+        ref_snuffy.FCLayer(d, 1),
+        ref_snuffy.BClassifier(
+            ref_snuffy.Encoder(
+                ref_snuffy.EncoderLayer(
+                    d,
+                    copy.deepcopy(ref_snuffy.MultiHeadedAttention(heads, d)),
+                    copy.deepcopy(
+                        ref_snuffy.PositionwiseFeedForward(d, d * 2, "relu", 0.0)
+                    ),
+                    0.0, lam, 0.0,
+                ),
+                1,
+            ),
+            1, d,
+        ),
+    ).eval()
+    rng = np.random.default_rng(3)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=1, num_heads=heads, big_lambda=lam,
+        random_patch_share=0.0, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=1, use_pallas=True,
+    )
+    params = snuffy_ref_to_flax(ref_model.state_dict(), 1)
+    _, bag_logits, _ = MILNet(cfg).apply(
+        {"params": params}, jnp.asarray(bag), jnp.ones((n,), bool), True,
+        rngs={"sparse": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), _t2n(ref_bag).reshape(-1),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_dsmil_forward_parity(ref_modules):
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.models.dsmil import MILNet as DsmilNet
+
+    _, ref_dsmil = ref_modules
+    d, c, n = 16, 3, 20
+    torch.manual_seed(2)
+    ref_model = ref_dsmil.MILNet(
+        ref_dsmil.FCLayer(d, c),
+        ref_dsmil.BClassifier(input_size=d, output_class=c),
+    ).eval()
+    rng = np.random.default_rng(5)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    with torch.no_grad():
+        ref_ins, ref_bag, ref_a = ref_model(torch.from_numpy(bag))
+
+    sd = ref_model.state_dict()
+    params = {
+        "i_classifier": {"fc": {
+            "kernel": _t2n(sd["i_classifier.fc.0.weight"]).T,
+            "bias": _t2n(sd["i_classifier.fc.0.bias"]),
+        }},
+        "b_classifier": {
+            "q1": {"kernel": _t2n(sd["b_classifier.q.0.weight"]).T,
+                   "bias": _t2n(sd["b_classifier.q.0.bias"])},
+            "q2": {"kernel": _t2n(sd["b_classifier.q.2.weight"]).T,
+                   "bias": _t2n(sd["b_classifier.q.2.bias"])},
+            "fcc_kernel": _t2n(sd["b_classifier.fcc.weight"]),
+            "fcc_bias": _t2n(sd["b_classifier.fcc.bias"]),
+        },
+    }
+    model = DsmilNet(feats_size=d, num_classes=c)
+    ins, bag_logits, a = model.apply(
+        {"params": params}, jnp.asarray(bag), jnp.ones((n,), bool)
+    )
+    np.testing.assert_allclose(np.asarray(ins), _t2n(ref_ins),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), _t2n(ref_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), _t2n(ref_bag).reshape(-1),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_dino_vit():
+    """Reference DINO ViT (utils_ssls_cf/vision_transformer_dino.py) with its
+    skimage-needing `utils` import stubbed to just trunc_normal_."""
+    import importlib.util
+    import types
+
+    stub = types.ModuleType("utils")
+    stub.trunc_normal_ = torch.nn.init.trunc_normal_
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "vits_dino", os.path.join(REF, "utils_ssls_cf",
+                                  "vision_transformer_dino.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    yield mod
+    if saved is not None:
+        sys.modules["utils"] = saved
+    else:
+        sys.modules.pop("utils", None)
+
+
+def test_dino_vit_embedder_parity(ref_dino_vit):
+    """Reference DINO ViT CLS output == my flax ViT with weights imported
+    through the torch-checkpoint path (validates model AND importer)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.vit import vit_tiny
+
+    torch.manual_seed(0)
+    ref_model = ref_dino_vit.vit_tiny(patch_size=16).eval()
+    x = np.random.default_rng(0).normal(size=(2, 224, 224, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    model = vit_tiny(patch_size=16, output="cls")
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+    )["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    imported = ti.import_vit(sd)
+    matched, mismatched = ti.check_layers(imported, template)
+    assert mismatched == [], f"missing: {mismatched}"
+    out = model.apply({"params": imported}, jnp.asarray(x), True)
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
+    )
