@@ -20,12 +20,19 @@ def sincos_1d(dim: int, positions: np.ndarray) -> np.ndarray:
 
 
 def sincos_2d(embed_dim: int, grid_size: int, cls_token: bool = True) -> np.ndarray:
-    """(1, [1+]grid², embed_dim) float32."""
+    """(1, [1+]grid², embed_dim) float32.
+
+    Channel layout matches the MAE reference exactly: its
+    `np.meshgrid(grid_w, grid_h)` ('w goes first') puts the COLUMN
+    coordinate in the first half of the channels and the row in the second
+    (reference mae_adapter/util/pos_embed.py:27-47) — required for
+    checkpoint-interoperable embeddings.
+    """
     assert embed_dim % 2 == 0
     coords = np.arange(grid_size, dtype=np.float64)
     gy, gx = np.meshgrid(coords, coords, indexing="ij")
     emb = np.concatenate(
-        [sincos_1d(embed_dim // 2, gy), sincos_1d(embed_dim // 2, gx)], axis=1
+        [sincos_1d(embed_dim // 2, gx), sincos_1d(embed_dim // 2, gy)], axis=1
     )
     if cls_token:
         emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)

@@ -289,3 +289,70 @@ def test_dino_vit_embedder_parity(ref_dino_vit):
     np.testing.assert_allclose(
         np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.fixture(scope="module")
+def ref_mae_normal():
+    """Reference MAE inference model (utils_ssls_cf/models_mae_normal.py),
+    with its timm/torchvision/skimage-era imports shimmed."""
+    import types
+
+    if not hasattr(np, "float"):
+        np.float = float  # timm 0.3.2 era alias
+    stub = types.ModuleType("utils")
+    stub.trunc_normal_ = torch.nn.init.trunc_normal_
+    sys.modules["utils"] = stub
+    for name in ["torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"]
+    timm_pkg = types.ModuleType("timm")
+    timm_pkg.__path__ = [os.path.join(REF, "mae_adapter", "timm_modified")]
+    timm_pkg.__version__ = "0.3.2"
+    sys.modules["timm"] = timm_pkg
+    sys.path.insert(0, REF)
+    sys.path.insert(0, os.path.join(REF, "utils_ssls_cf"))
+    import models_mae_normal as mm
+
+    yield mm
+    sys.path.remove(REF)
+    sys.path.remove(os.path.join(REF, "utils_ssls_cf"))
+
+
+def test_mae_embedder_parity(ref_mae_normal):
+    """Reference MAE mean-pool embedder == my embed_tokens on imported
+    weights (also validates the fixed sin-cos pos embed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.mae import MaskedAutoencoderViT
+
+    torch.manual_seed(0)
+    ref_model = ref_mae_normal.mae_vit_base_patch16().eval()
+    x = np.random.default_rng(1).normal(size=(2, 224, 224, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    # The reference's "normal" MAE still instantiates adapters and its
+    # initialize_weights() xavier-overwrites their LoRA zero-init — so the
+    # oracle runs ACTIVE random adapters (scale 0.1); import them too.
+    model = MaskedAutoencoderViT(
+        img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        use_adapter=True, adapter_bottleneck=64, adapter_scale=0.1,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    imported = ti.import_mae(sd)
+    variables = {"params": imported}
+    out = model.apply(
+        variables, jnp.asarray(x),
+        method=MaskedAutoencoderViT.embed_tokens,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
+    )
