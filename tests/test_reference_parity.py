@@ -356,3 +356,90 @@ def test_mae_embedder_parity(ref_mae_normal):
     np.testing.assert_allclose(
         np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+def test_snuffy_random_share_parity(ref_modules):
+    """Parity WITH the random share: run my model first, read its realized
+    per-layer selection, then feed those exact random picks into the
+    reference by proxying its module-level np.random.choice."""
+    import copy
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.models.snuffy import MILNet
+
+    ref_snuffy, _ = ref_modules
+    d, heads, lam, n, depth = 32, 4, 12, 40, 2
+    rho = 0.5
+    torch.manual_seed(4)
+    ref_model = ref_snuffy.MILNet(
+        ref_snuffy.FCLayer(d, 1),
+        ref_snuffy.BClassifier(
+            ref_snuffy.Encoder(
+                ref_snuffy.EncoderLayer(
+                    d,
+                    copy.deepcopy(ref_snuffy.MultiHeadedAttention(heads, d)),
+                    copy.deepcopy(
+                        ref_snuffy.PositionwiseFeedForward(d, d * 2, "relu", 0.0)
+                    ),
+                    0.0, lam, rho,
+                ),
+                depth,
+            ),
+            1, d,
+        ),
+    ).eval()
+
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=1, num_heads=heads, big_lambda=lam,
+        random_patch_share=rho, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth, use_pallas=False,
+    )
+    params = snuffy_ref_to_flax(ref_model.state_dict(), depth)
+    rng = np.random.default_rng(7)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+
+    model = MILNet(cfg)
+    (ins, bag_logits, _), inter = model.apply(
+        {"params": params}, jnp.asarray(bag), jnp.ones((n,), bool), True,
+        rngs={"sparse": jax.random.PRNGKey(11)},
+        mutable=["intermediates"],
+    )
+    enc = inter["intermediates"]["b_classifier"]["encoder"]
+    k_top = cfg.k_top
+    my_rand_per_layer = [
+        np.asarray(enc[f"layer_{i}"]["sel_indices"][0])[k_top:]
+        for i in range(depth)
+    ]
+
+    calls = {"i": 0}
+
+    def choice_proxy(remaining, size, replace=False):
+        picks = my_rand_per_layer[calls["i"]]
+        calls["i"] += 1
+        assert len(picks) == size
+        assert set(picks.tolist()) <= set(remaining)
+        return picks.astype(np.int64)
+
+    proxy_np = types.SimpleNamespace(
+        random=types.SimpleNamespace(choice=choice_proxy)
+    )
+    saved_np = ref_snuffy.np
+    ref_snuffy.np = proxy_np
+    try:
+        with torch.no_grad():
+            ref_ins, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+    finally:
+        ref_snuffy.np = saved_np
+    assert calls["i"] == depth
+
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), _t2n(ref_bag).reshape(-1),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ins), _t2n(ref_ins).reshape(n, 1), rtol=2e-3, atol=2e-4
+    )
