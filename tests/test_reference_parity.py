@@ -443,3 +443,63 @@ def test_snuffy_random_share_parity(ref_modules):
     np.testing.assert_allclose(
         np.asarray(ins), _t2n(ref_ins).reshape(n, 1), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.fixture(scope="module")
+def ref_dino_adapter_vit():
+    import importlib.util
+    import types
+
+    stub = types.ModuleType("utils")
+    stub.trunc_normal_ = torch.nn.init.trunc_normal_
+    sys.modules["utils"] = stub
+    sys.path.insert(0, os.path.join(REF, "dino_adapter"))
+    spec = importlib.util.spec_from_file_location(
+        "vits_dino_adapter",
+        os.path.join(REF, "dino_adapter", "vision_transformer_with_adapter.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.path.remove(os.path.join(REF, "dino_adapter"))
+
+
+def test_dino_adapter_vit_parity(ref_dino_adapter_vit):
+    """Adapter-ViT parity with ACTIVE adapters: LoRA init zeroes up_proj, so
+    randomize the adapter weights first — this checks the adapter's exact
+    placement (parallel branch fed by the post-attention sequence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.vit import VisionTransformer
+
+    va = ref_dino_adapter_vit
+    torch.manual_seed(3)
+    ref_model = va.vit_tiny(
+        patch_size=16, adapter_ffn_layernorm_option="none",
+        adapter_ffn_init_option="lora", adapter_ffn_scalar=4.0,
+        adapter_ffn_num=8, adapter_d_model=192,
+    ).eval()
+    with torch.no_grad():
+        for blk in ref_model.blocks:
+            blk.adaptmlp.up_proj.weight.normal_(0, 0.05)
+            blk.adaptmlp.up_proj.bias.normal_(0, 0.01)
+
+    x = np.random.default_rng(2).normal(size=(2, 224, 224, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=192, depth=12, num_heads=3, output="cls",
+        use_adapter=True, adapter_bottleneck=8, adapter_scale=4.0,
+        adapter_layernorm_option="none",
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    imported = ti.import_vit(sd)
+    out = model.apply({"params": imported}, jnp.asarray(x), True)
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
+    )
