@@ -166,6 +166,55 @@ class SnuffyTrainer:
             self._epoch_fns[key] = jax.jit(self._scan_bucket, donate_argnums=(0,))
         return self._epoch_fns[key]
 
+    # ------------------------------------------------- batched-bags mode
+
+    def _batched_train_step(self, state, feats_b, masks_b, labels_b, bag_w,
+                            lr, rng):
+        """ONE optimizer step over a batch of bags: loss = weighted mean
+        (bag_w zeroes padding bags). The `bag_batch_size > 1` mode of
+        MILTrainConfig — larger device batches at the cost of the
+        reference's strict serial-step semantics."""
+
+        def loss_fn(group):
+            def one(feats, mask, label, key):
+                k1, k2 = jax.random.split(key)
+                rngs = {"sparse": k1, "dropout": k2}
+                loss, (score, ins) = self._bag_loss_fn(
+                    group, feats, mask, label, rngs, False
+                )
+                return loss, score, ins
+
+            keys = jax.random.split(rng, feats_b.shape[0])
+            losses, scores, ins = jax.vmap(one)(feats_b, masks_b, labels_b,
+                                                keys)
+            mean = jnp.sum(losses * bag_w) / jnp.maximum(jnp.sum(bag_w), 1.0)
+            return mean, (losses, scores, ins)
+
+        group = {"model": state.params, "w": state.w}
+        (mean_loss, (losses, scores, ins)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(group)
+        updates, opt_state = self.tx.update(grads, state.opt_state, group)
+        mult = self.cfg.optim.single_weight_lr_multiplier
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, group["model"], updates["model"]
+        )
+        new_w = jnp.clip(group["w"] - lr * mult * updates["w"], 0.0, 1.0)
+        return (
+            MILTrainState(new_params, new_w, opt_state, state.step + 1),
+            losses,
+            scores,
+            ins,
+        )
+
+    def train_bucket_batched_fn(self, n_pad: int, batch: int):
+        key = (n_pad, "batched", batch)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = jax.jit(
+                self._batched_train_step, donate_argnums=(0,)
+            )
+        return self._epoch_fns[key]
+
     def eval_bucket_fn(self, n_pad: int):
         """Batched deterministic forward for one bucket length (cached).
 
@@ -214,6 +263,7 @@ class SnuffyTrainer:
         order) aligned to the original bag indexing."""
         order = []
         losses, scores, ins_list = [], [], []
+        batch = max(1, self.cfg.bag_batch_size)
         bucket_keys = list(bucketed.keys())
         rng.shuffle(bucket_keys)
         for n_pad in bucket_keys:
@@ -225,20 +275,58 @@ class SnuffyTrainer:
                 labels_b[perm],
                 idx[perm],
             )
-            fn = self.train_bucket_fn(n_pad)
             key = jax.random.PRNGKey(int(rng.integers(2**31)) ^ seed)
-            state, l, s, ins = fn(
-                state,
-                jnp.asarray(feats_b),
-                jnp.asarray(masks_b),
-                jnp.asarray(labels_b),
-                jnp.asarray(lr, jnp.float32),
-                key,
-            )
-            losses.append(np.asarray(l))
-            scores.append(np.asarray(s))
+            if batch == 1:
+                fn = self.train_bucket_fn(n_pad)
+                state, l, s, ins = fn(
+                    state,
+                    jnp.asarray(feats_b),
+                    jnp.asarray(masks_b),
+                    jnp.asarray(labels_b),
+                    jnp.asarray(lr, jnp.float32),
+                    key,
+                )
+                l, s, ins = np.asarray(l), np.asarray(s), np.asarray(ins)
+            else:
+                fn = self.train_bucket_batched_fn(n_pad, batch)
+                l_parts, s_parts, ins_parts = [], [], []
+                for start in range(0, len(idx), batch):
+                    fb = feats_b[start:start + batch]
+                    mb = masks_b[start:start + batch]
+                    lb = labels_b[start:start + batch]
+                    n_real = fb.shape[0]
+                    if n_real < batch:  # pad with zero-weight dummy bags
+                        pad = batch - n_real
+                        fb = np.concatenate(
+                            [fb, np.zeros((pad,) + fb.shape[1:], fb.dtype)]
+                        )
+                        mb = np.concatenate(
+                            [mb, np.zeros((pad,) + mb.shape[1:], bool)]
+                        )
+                        lb = np.concatenate(
+                            [lb, np.zeros((pad,) + lb.shape[1:], lb.dtype)]
+                        )
+                    bag_w = np.zeros((batch,), np.float32)
+                    bag_w[:n_real] = 1.0
+                    key, sub = jax.random.split(key)
+                    state, lg, sg, ig = fn(
+                        state,
+                        jnp.asarray(fb),
+                        jnp.asarray(mb),
+                        jnp.asarray(lb),
+                        jnp.asarray(bag_w),
+                        jnp.asarray(lr, jnp.float32),
+                        sub,
+                    )
+                    l_parts.append(np.asarray(lg)[:n_real])
+                    s_parts.append(np.asarray(sg)[:n_real])
+                    ins_parts.append(np.asarray(ig)[:n_real])
+                l = np.concatenate(l_parts)
+                s = np.concatenate(s_parts)
+                ins = np.concatenate(ins_parts)
+            losses.append(l)
+            scores.append(s)
             # Keep only valid instance rows, per bag (host-side ragged).
-            ins = np.asarray(ins)
             for b in range(ins.shape[0]):
                 n_valid = int(masks_b[b].sum())
                 ins_list.append(ins[b, :n_valid])

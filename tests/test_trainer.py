@@ -155,3 +155,24 @@ def test_end_to_end_training_learns():
     assert "test_best" in summary and "test_last" in summary
     test_auc = summary["test_best"]["epoch_test_best_aucs"][0]
     assert test_auc > 0.7
+
+
+def test_batched_bags_mode_learns():
+    """bag_batch_size > 1: one optimizer step per batch of bags; still
+    learns the synthetic task and handles ragged tail batches."""
+    rng = np.random.default_rng(11)
+    direction = rng.standard_normal(32)
+    train = make_synthetic_mil(rng, num_bags=30, direction=direction)
+    valid = make_synthetic_mil(rng, num_bags=20, direction=direction)
+    test = make_synthetic_mil(rng, num_bags=10, direction=direction)
+
+    cfg = tiny_cfg(num_epochs=10, soft_average=False, bag_batch_size=4)
+    trainer = SnuffyTrainer(cfg)
+    runner = Runner(cfg, trainer, train, valid, test, MetricsLogger())
+    schedule = cosine_annealing(cfg.optim.lr, cfg.num_epochs,
+                                cfg.optim.eta_min)
+    summary = runner.run(schedule)
+    assert summary["best_valid_auc"] > 0.7
+    assert summary["history"][-1]["epoch_train_loss"] < summary["history"][0][
+        "epoch_train_loss"
+    ]

@@ -77,6 +77,9 @@ def get_args_parser():
     # TPU-native extras
     parser.add_argument("--use_pallas", default=1, choices=[0, 1], type=int,
                         help="use the fused Pallas sparse-attention kernel")
+    parser.add_argument("--bag_batch_size", default=1, type=int,
+                        help="bags per optimizer step (1 = reference serial"
+                             " semantics; >1 = batched grads for throughput)")
     return parser
 
 
@@ -140,6 +143,7 @@ def build_config(args):
         roc_run_name=args.roc_run_name,
         roc_run_epoch=args.roc_run_epoch,
         roc_data_split=args.roc_data_split,
+        bag_batch_size=args.bag_batch_size,
     )
 
 
