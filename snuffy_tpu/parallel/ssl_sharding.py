@@ -1,0 +1,43 @@
+"""Data-parallel sharding for the SSL trainers.
+
+The SSL steps (ssl/dino.py, ssl/mae_trainer.py) are pure jitted functions;
+scaling them over chips is placement, not code: put the image batch on the
+dp axis of the mesh and replicate the state — GSPMD turns the gradient
+means into psums over ICI (the DDP all-reduce of reference
+dino_adapter/utils.py:473-513 and mae_adapter/util/misc.py:217-249, without
+any process groups). The DINO center update is a global batch mean, so its
+dist.all_reduce (reference main_dino_adapter.py:666-668) also falls out of
+the sharded mean automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def dp_mesh(n_devices: int | None = None) -> Mesh:
+    import numpy as np
+
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), ("dp",))
+
+
+def shard_images(batch, mesh: Mesh):
+    """(B, H, W, C) image batch → B sharded over dp."""
+    spec = P("dp", *([None] * (batch.ndim - 1)))
+    return jax.device_put(batch, NamedSharding(mesh, spec))
+
+
+def shard_crops(crops, mesh: Mesh):
+    """(V, B, H, W, C) multi-crop stack → B (axis 1) sharded over dp."""
+    spec = P(None, "dp", None, None, None)
+    return jax.device_put(crops, NamedSharding(mesh, spec))
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

@@ -95,3 +95,44 @@ def test_mil_pickle_roundtrip(tmp_path):
         assert len(labels) > 0
         assert all(f.shape[1] == 166 for f in feats)
         assert set(float(l[0]) for l in labels) <= {0.0, 1.0}
+
+
+def test_train_cli_multiclass(tmp_path, monkeypatch):
+    """snuffy_multiclass end-to-end through the CLI on 3-class synthetic
+    embeddings (the TCGA-style path, reference README.md:683)."""
+    import numpy as np
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    rng = np.random.default_rng(0)
+    num_classes, d = 3, 32
+    directions = rng.standard_normal((num_classes, d))
+
+    def make(num_bags):
+        labels, feats = [], []
+        for i in range(num_bags):
+            y = i % num_classes
+            n = int(rng.integers(20, 40))
+            x = rng.standard_normal((n, d)).astype(np.float32)
+            x[: max(3, n // 4)] += 2.5 * directions[y]
+            one_hot = np.zeros(num_classes, np.float32)
+            one_hot[y] = 1.0
+            labels.append(one_hot)
+            feats.append(x)
+        return labels, feats, None, None
+
+    data = {"train": make(24), "valid": make(12), "test": make(12)}
+    monkeypatch.setattr(
+        train_cli, "load_datasets",
+        lambda cfg: (data["train"], data["valid"], data["test"]),
+    )
+    summary = train_cli.main([
+        "--dataset=camelyon16", "--arch=snuffy_multiclass",
+        "--num_classes=3", "--feats_size=32", "--num_heads=2",
+        "--big_lambda=8", "--random_patch_share=0.5", "--num_epochs=4",
+        "--lr=2e-3", "--optimizer=adamw", "--use_mp=0", "--use_pallas=0",
+    ])
+    assert summary["best_epoch"] >= 1
+    aucs = summary["test_best"]["epoch_test_best_aucs"]
+    assert len(aucs) == 3
