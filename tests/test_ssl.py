@@ -159,3 +159,53 @@ def test_multicrop_shapes_and_stats():
     assert np.isfinite(np.asarray(g)).all() and np.isfinite(np.asarray(l)).all()
     # normalized outputs: roughly centered
     assert abs(float(jnp.mean(g))) < 3.0
+
+
+def test_knn_classify_separable():
+    from snuffy_tpu.ssl.retrieval import knn_classify
+
+    rng = np.random.default_rng(0)
+    c0 = rng.normal(size=(50, 8)) + np.array([3.0] + [0] * 7)
+    c1 = rng.normal(size=(50, 8)) - np.array([3.0] + [0] * 7)
+    train = np.concatenate([c0, c1])
+    labels = np.array([0] * 50 + [1] * 50)
+    test = np.concatenate([
+        rng.normal(size=(10, 8)) + np.array([3.0] + [0] * 7),
+        rng.normal(size=(10, 8)) - np.array([3.0] + [0] * 7),
+    ])
+    pred = knn_classify(train, labels, test, k=10)
+    assert (pred == np.array([0] * 10 + [1] * 10)).mean() > 0.9
+
+
+def test_pca_whitening_decorrelates():
+    from snuffy_tpu.ssl.retrieval import PCA
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(500, 4))
+    mix = rng.normal(size=(4, 8))
+    x = base @ mix  # rank-4 correlated data in 8-d
+    pca = PCA(dim=4, whit=0.5)
+    pca.train_pca(x)
+    y = pca.apply(x)
+    assert y.shape == (500, 4)
+    cov = np.cov(y.T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.15 * np.abs(np.diag(cov)).max()
+
+
+def test_map_perfect_and_worst():
+    from snuffy_tpu.ssl.retrieval import compute_ap, retrieval_map
+
+    # positives ranked first → AP 1
+    assert compute_ap(np.array([0, 1, 2]), 3) == pytest.approx(1.0)
+    # single positive at rank 9 of 10 → low AP
+    assert compute_ap(np.array([9]), 1) < 0.2
+
+    rng = np.random.default_rng(2)
+    db = np.concatenate([
+        rng.normal(size=(5, 6)) + 4.0, rng.normal(size=(5, 6)) - 4.0
+    ])
+    queries = np.stack([db[0] + 0.1, db[7] + 0.1])
+    positives = [set(range(5)), set(range(5, 10))]
+    m = retrieval_map(queries, db, positives)
+    assert m > 0.95
