@@ -124,6 +124,17 @@ def main(argv=None):
         class_labels = {c: i for i, c in enumerate(class_names)}
     print(f"class labels: {class_labels}")
 
+    # Save the "cleaned" embedder next to the embeddings (the reference's
+    # remapped-weights save, compute_feats.py:486-490) so roi.py /
+    # predict_slide.py reload exactly what produced these features.
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "embedder.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": embedder.params, "head": embedder.head_params}
+        ))
+
     rows = extract_dataset(
         embedder,
         dataset_path,

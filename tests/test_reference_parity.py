@@ -503,3 +503,99 @@ def test_dino_adapter_vit_parity(ref_dino_adapter_vit):
     np.testing.assert_allclose(
         np.asarray(out), ref_out.detach().numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+def test_snuffy_multiclass_parity(ref_modules):
+    """Multiclass parity: per-class top-k union + ref_dim rule are
+    deterministic; the random share is aligned by proxying the reference's
+    np.random.choice with my realized Gumbel picks."""
+    import copy
+    import types
+
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.models.snuffy import MILNet
+
+    sys.path.insert(0, REF)
+    try:
+        ref_mc = importlib.import_module("snuffy_multiclass")
+    finally:
+        sys.path.remove(REF)
+
+    d, heads, lam, n, c, depth = 32, 4, 8, 30, 3, 2
+    rho = 0.5
+    torch.manual_seed(6)
+    ref_model = ref_mc.MILNet(
+        ref_mc.FCLayer(d, c),
+        ref_mc.BClassifier(
+            ref_mc.Encoder(
+                ref_mc.EncoderLayer(
+                    d,
+                    copy.deepcopy(ref_mc.MultiHeadedAttention(heads, d)),
+                    copy.deepcopy(
+                        ref_mc.PositionwiseFeedForward(d, d * 2, "relu")
+                    ),
+                    c, 0.0, lam, rho,
+                ),
+                depth,
+            ),
+            c, d,
+        ),
+    ).eval()
+
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=c, num_heads=heads, big_lambda=lam,
+        random_patch_share=rho, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth, multiclass=True, use_pallas=False,
+    )
+    params = snuffy_ref_to_flax(ref_model.state_dict(), depth)
+    rng = np.random.default_rng(9)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+
+    model = MILNet(cfg)
+    (ins, bag_logits, _), inter = model.apply(
+        {"params": params}, jnp.asarray(bag), jnp.ones((n,), bool), True,
+        rngs={"sparse": jax.random.PRNGKey(13)},
+        mutable=["intermediates"],
+    )
+    enc = inter["intermediates"]["b_classifier"]["encoder"]
+    s_half = min(cfg.k_top * c, n)
+    rand_picks = []
+    for i in range(depth):
+        idx = np.asarray(enc[f"layer_{i}"]["sel_indices"][0])
+        val = np.asarray(enc[f"layer_{i}"]["sel_valid"][0])
+        rand_picks.append(idx[s_half:][val[s_half:]])
+
+    calls = {"i": 0}
+
+    def choice_proxy(remaining, size, replace=False):
+        picks = rand_picks[calls["i"]]
+        calls["i"] += 1
+        assert len(picks) == size, (len(picks), size)
+        assert set(picks.tolist()) <= set(remaining)
+        return picks.astype(np.int64)
+
+    proxy_np = types.SimpleNamespace(
+        inf=float("inf"),
+        random=types.SimpleNamespace(choice=choice_proxy),
+    )
+    saved_np = ref_mc.np
+    ref_mc.np = proxy_np
+    try:
+        with torch.no_grad():
+            ref_ins, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+    finally:
+        ref_mc.np = saved_np
+    assert calls["i"] == depth
+
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), _t2n(ref_bag).reshape(-1),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ins), _t2n(ref_ins).reshape(n, c), rtol=2e-3, atol=2e-4
+    )
