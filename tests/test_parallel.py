@@ -162,3 +162,35 @@ def test_dino_step_dp_sharded_runs():
             jnp.asarray(0.04), jnp.asarray(True), jax.random.PRNGKey(2),
         )
     assert np.isfinite(float(loss))
+
+
+def test_sp_attention_matches_single_device():
+    """Sequence-parallel attention (shard_map + psum over sp) equals the
+    unsharded op bit-for-tolerance."""
+    from jax.sharding import Mesh
+
+    from snuffy_tpu.ops.sparse_attention import inverted_sparse_attention
+    from snuffy_tpu.parallel.sp_attention import sp_inverted_sparse_attention
+
+    h, n, s, dk = 2, 512, 16, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h, s, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    sv = jnp.asarray(np.arange(s) < 12)
+    qv = jnp.asarray(np.arange(n) < 400)
+
+    expected, _ = inverted_sparse_attention(q, k, v, sv, qv)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("sp",))
+    got = sp_inverted_sparse_attention(
+        q, k, v, sv, qv, mesh, use_pallas=False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
+
+    got_pallas = sp_inverted_sparse_attention(
+        q, k, v, sv, qv, mesh, use_pallas=True, tile_n=64
+    )
+    np.testing.assert_allclose(np.asarray(got_pallas), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
