@@ -47,6 +47,7 @@ def get_args_parser():
                    default=(0.05, 0.4))
     p.add_argument("--data_path", default="datasets/camelyon16/single",
                    type=str)
+    p.add_argument("--valid_data_path", default=None, type=str)
     p.add_argument("--output_dir", default="runs/dino_adapter", type=str)
     p.add_argument("--saveckp_freq", default=20, type=int)
     p.add_argument("--seed", default=0, type=int)
@@ -109,6 +110,12 @@ def train_dino(args):
     paths, _ = list_image_folder(args.data_path)
     batcher = ImageBatcher(paths, args.batch_size_per_gpu, args.img_size,
                            args.num_workers, args.seed)
+    valid_batcher = None
+    if args.valid_data_path:
+        vp, _ = list_image_folder(args.valid_data_path)
+        valid_batcher = ImageBatcher(vp, args.batch_size_per_gpu,
+                                     args.img_size, args.num_workers,
+                                     args.seed + 1)
     iters = len(batcher)
     if args.max_steps_per_epoch:
         iters = min(iters, args.max_steps_per_epoch)
@@ -177,9 +184,23 @@ def train_dino(args):
                 raise FloatingPointError(f"Loss is {loss}, stopping training")
             losses.append(loss)
             it += 1
+        val_loss = None
+        if valid_batcher is not None:
+            vl = []
+            for bi, batch in enumerate(valid_batcher.epoch()):
+                if bi >= 5:
+                    break
+                key, k_aug = jax.random.split(key)
+                g, l = aug(k_aug, jnp.asarray(batch))
+                vl.append(trainer.eval_loss(
+                    state, g, l, trainer.teacher_temp_at(epoch)
+                ))
+            val_loss = float(np.mean(vl)) if vl else None
+
         row = {
             "epoch": epoch,
             "train_loss": float(np.mean(losses)) if losses else None,
+            "val_loss": val_loss,
             "lr": lr_s(it - 1),
             "wd": wd_s(it - 1),
             "epoch_time_s": time.time() - t0,
@@ -189,6 +210,8 @@ def train_dino(args):
             f.write(json.dumps(row) + "\n")
         _save(args, trainer, state, epoch)
     batcher.close()
+    if valid_batcher is not None:
+        valid_batcher.close()
     return state
 
 

@@ -305,3 +305,12 @@ class DINOTrainer:
         if self._step_fn is None:
             self._step_fn = self.make_step()
         return self._step_fn
+
+    def eval_loss(self, state: DINOState, globals_, locals_, teacher_temp
+                  ) -> float:
+        """Deterministic DINO loss on held-out crops (the reference's
+        per-epoch validation pass, main_dino_adapter.py:567-594)."""
+        s_out = self.forward_views(state.student, globals_, locals_, True)
+        t_out = self.forward_views(state.teacher, globals_, locals_[:0], True)
+        loss, _ = self.dino_loss(s_out, t_out, state.center, teacher_temp)
+        return float(loss)

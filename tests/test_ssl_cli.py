@@ -43,15 +43,19 @@ def test_dino_cli_smoke(tmp_path, tiny_vit_factories):
     _make_image_folder(data)
     args = cli.get_args_parser().parse_args([
         "--arch=vit_tiny", "--epochs=2", "--batch_size_per_gpu=4",
-        f"--data_path={data}", f"--output_dir={tmp_path}/out",
+        f"--data_path={data}", f"--valid_data_path={data}",
+        f"--output_dir={tmp_path}/out",
         "--num_workers=0", "--img_size=32", "--global_size=32",
         "--local_size=16", "--local_crops_number=2", "--out_dim=32",
         "--warmup_epochs=1", "--max_steps_per_epoch=2",
     ])
     state = cli.train_dino(args)
     assert os.path.exists(str(tmp_path / "out" / "checkpoint.msgpack"))
-    log = open(str(tmp_path / "out" / "log.txt")).read().strip().splitlines()
+    import json
+    log = [json.loads(l) for l in
+           open(str(tmp_path / "out" / "log.txt")).read().strip().splitlines()]
     assert len(log) == 2
+    assert log[-1]["val_loss"] is not None
 
 
 @pytest.fixture
