@@ -46,9 +46,12 @@ import jax.numpy as jnp
 from snuffy_tpu.configs import SnuffyModelConfig
 from snuffy_tpu.ops.init import get_weight_init
 from snuffy_tpu.ops.selection import (
+    PreparedSelection,
     Selection,
-    binary_lambda_selection,
-    multiclass_lambda_selection,
+    binary_selection_draw,
+    binary_selection_prepare,
+    multiclass_selection_draw,
+    multiclass_selection_prepare,
 )
 from snuffy_tpu.ops.sparse_attention import inverted_sparse_attention
 
@@ -184,7 +187,7 @@ class EncoderLayer(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,            # (N, d)
-        c: jnp.ndarray,            # (N, C) instance logits
+        prep: PreparedSelection,   # hoisted top share (c is layer-invariant)
         mask: jnp.ndarray,         # (N,) bool
         deterministic: bool,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -192,12 +195,13 @@ class EncoderLayer(nn.Module):
         n = x.shape[0]
         sparse_key = self.make_rng("sparse")
 
+        # Only the uniform random share is re-drawn per layer; the top share
+        # is computed once per forward (reference snuffy.py:128 re-sorts the
+        # same `c` every layer — identical result, redundant work).
         if cfg.multiclass:
-            sel, _ = multiclass_lambda_selection(sparse_key, c, mask, cfg.k_top)
+            sel = multiclass_selection_draw(sparse_key, prep)
         else:
-            sel = binary_lambda_selection(
-                sparse_key, c[:, 0], mask, min(cfg.k_top, n), cfg.k_rand
-            )
+            sel = binary_selection_draw(sparse_key, prep, cfg.k_rand)
         # Expose the realized selection for tests/visualization via
         # apply(..., mutable=['intermediates']).
         self.sow("intermediates", "sel_indices", sel.indices)
@@ -236,11 +240,18 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, mask, deterministic):
+        cfg = self.cfg
+        if cfg.multiclass:
+            prep = multiclass_selection_prepare(c, mask, cfg.k_top)
+        else:
+            prep = binary_selection_prepare(
+                c[:, 0], mask, min(cfg.k_top, x.shape[0])
+            )
         p_attn = None
-        for i in range(self.cfg.depth):
+        for i in range(cfg.depth):
             x, p_attn = EncoderLayer(
-                self.cfg, self.ffn_dropout, name=f"layer_{i}"
-            )(x, c, mask, deterministic)
+                cfg, self.ffn_dropout, name=f"layer_{i}"
+            )(x, prep, mask, deterministic)
         return nn.LayerNorm(name="ln_final")(x), p_attn
 
 

@@ -66,6 +66,39 @@ def gumbel_without_replacement(
     return Selection(idx.astype(jnp.int32), jnp.isfinite(vals))
 
 
+class PreparedSelection(NamedTuple):
+    """Depth-invariant part of the Λ pattern: the reference re-sorts the SAME
+    instance logits at every layer (snuffy.py:128 — `c` never changes), so
+    the top share and the eligible-remainder pool hoist out of the layer
+    loop; only the random share is drawn per layer."""
+
+    top: Selection
+    remainder: jnp.ndarray         # (N,) bool — valid ∧ ¬top
+    ref_dim: jnp.ndarray | None    # multiclass only
+
+
+def binary_selection_prepare(
+    instance_logits: jnp.ndarray, valid: jnp.ndarray, k_top: int
+) -> PreparedSelection:
+    top = top_share_selection(instance_logits, valid, k_top)
+    # Invalid top slots index padded (already-False) positions, so
+    # unconditional clearing is safe.
+    remainder = valid.at[top.indices].set(False)
+    return PreparedSelection(top, remainder, None)
+
+
+def binary_selection_draw(
+    key: jax.Array, prep: PreparedSelection, k_rand: int
+) -> Selection:
+    if k_rand == 0:
+        return prep.top
+    rand = gumbel_without_replacement(key, prep.remainder, k_rand)
+    return Selection(
+        jnp.concatenate([prep.top.indices, rand.indices]),
+        jnp.concatenate([prep.top.slot_valid, rand.slot_valid]),
+    )
+
+
 def binary_lambda_selection(
     key: jax.Array,
     instance_logits: jnp.ndarray,  # (N,) — single-class logits
@@ -81,16 +114,8 @@ def binary_lambda_selection(
       - the random share draws from valid ∧ ¬top, capped implicitly at the
         remainder size via slot validity (matches snuffy.py:137-140).
     """
-    top = top_share_selection(instance_logits, valid, k_top)
-    if k_rand == 0:
-        return top
-    # Remove top picks from the eligible pool. Invalid top slots index padded
-    # (already-False) positions, so unconditional clearing is safe.
-    remainder = valid.at[top.indices].set(False)
-    rand = gumbel_without_replacement(key, remainder, k_rand)
-    return Selection(
-        jnp.concatenate([top.indices, rand.indices]),
-        jnp.concatenate([top.slot_valid, rand.slot_valid]),
+    return binary_selection_draw(
+        key, binary_selection_prepare(instance_logits, valid, k_top), k_rand
     )
 
 
@@ -112,6 +137,47 @@ def _unique_ascending(flat_idx: jnp.ndarray, flat_valid: jnp.ndarray, n: int):
     return s[order], r
 
 
+def multiclass_selection_prepare(
+    instance_logits: jnp.ndarray, valid: jnp.ndarray, k_top: int
+) -> PreparedSelection:
+    """Hoisted multiclass top share: per-class top-k → unique → ref_dim and
+    the complement pool (reference snuffy_multiclass.py:133-149; like the
+    binary case, `c` is layer-invariant)."""
+    n, c = instance_logits.shape
+    s_half = min(k_top * c, n)
+
+    def per_class(cl):
+        return top_share_selection(instance_logits[:, cl], valid, min(k_top, n))
+
+    sels = [per_class(cl) for cl in range(c)]
+    flat_idx = jnp.concatenate([s.indices for s in sels])
+    flat_val = jnp.concatenate([s.slot_valid for s in sels])
+
+    uniq, r = _unique_ascending(flat_idx, flat_val, n)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    ref_dim = jnp.maximum(jnp.minimum(r, n_valid - r).astype(jnp.int32), 0)
+
+    slot_ids = jnp.arange(s_half, dtype=jnp.int32)
+    top = Selection(uniq[:s_half], slot_ids < ref_dim)
+    remainder = valid.at[jnp.where(flat_val, flat_idx, jnp.int32(n))].set(
+        False, mode="drop"
+    )
+    return PreparedSelection(top, remainder, ref_dim)
+
+
+def multiclass_selection_draw(
+    key: jax.Array, prep: PreparedSelection
+) -> Selection:
+    s_half = prep.top.indices.shape[0]
+    slot_ids = jnp.arange(s_half, dtype=jnp.int32)
+    rand = gumbel_without_replacement(key, prep.remainder, s_half)
+    rand_valid = (slot_ids < prep.ref_dim) & rand.slot_valid
+    return Selection(
+        jnp.concatenate([prep.top.indices, rand.indices]),
+        jnp.concatenate([prep.top.slot_valid, rand_valid]),
+    )
+
+
 def multiclass_lambda_selection(
     key: jax.Array,
     instance_logits: jnp.ndarray,  # (N, C)
@@ -129,37 +195,5 @@ def multiclass_lambda_selection(
 
     Returns (Selection with S slots, ref_dim).
     """
-    n, c = instance_logits.shape
-    s_half = min(k_top * c, n)
-
-    # Per-class top-k over valid tokens → (k_top, C) indices + validity.
-    def per_class(cl):
-        return top_share_selection(instance_logits[:, cl], valid, min(k_top, n))
-
-    sels = [per_class(cl) for cl in range(c)]
-    flat_idx = jnp.concatenate([s.indices for s in sels])
-    flat_val = jnp.concatenate([s.slot_valid for s in sels])
-
-    uniq, r = _unique_ascending(flat_idx, flat_val, n)
-    n_valid = jnp.sum(valid).astype(jnp.int32)
-    ref_dim = jnp.minimum(r, n_valid - r).astype(jnp.int32)
-    ref_dim = jnp.maximum(ref_dim, 0)
-
-    slot_ids = jnp.arange(s_half, dtype=jnp.int32)
-    top_idx = uniq[:s_half]
-    top_valid = slot_ids < ref_dim
-
-    # Complement of the FULL union (all r unique picks, not just ref_dim).
-    remainder = valid.at[jnp.where(flat_val, flat_idx, jnp.int32(n))].set(
-        False, mode="drop"
-    )
-    rand = gumbel_without_replacement(key, remainder, s_half)
-    rand_valid = (slot_ids < ref_dim) & rand.slot_valid
-
-    return (
-        Selection(
-            jnp.concatenate([top_idx, rand.indices]),
-            jnp.concatenate([top_valid, rand_valid]),
-        ),
-        ref_dim,
-    )
+    prep = multiclass_selection_prepare(instance_logits, valid, k_top)
+    return multiclass_selection_draw(key, prep), prep.ref_dim
