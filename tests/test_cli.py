@@ -136,3 +136,42 @@ def test_train_cli_multiclass(tmp_path, monkeypatch):
     assert summary["best_epoch"] >= 1
     aucs = summary["test_best"]["epoch_test_best_aucs"]
     assert len(aucs) == 3
+
+
+def test_train_cli_official_embeddings(tmp_path, monkeypatch):
+    """'official' embedding path: ratio split of a dataset CSV of per-bag
+    feature CSVs (reference train.py:572-602)."""
+    import numpy as np
+    import pandas as pd
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    rng = np.random.default_rng(3)
+    direction = rng.standard_normal(16)
+    emb_dir = tmp_path / "embeddings" / "camelyon16" / "official"
+    emb_dir.mkdir(parents=True)
+    rows = []
+    for i in range(20):
+        y = i % 2
+        n = int(rng.integers(10, 20))
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        if y:
+            x[: n // 3] += 3.0 * direction / np.linalg.norm(direction)
+        path = emb_dir / f"bag_{i}.csv"
+        pd.DataFrame(x, columns=[str(j) for j in range(16)]).to_csv(
+            path, index=False
+        )
+        rows.append((str(path), y))
+    pd.DataFrame(rows, columns=["0", "1"]).to_csv(
+        emb_dir / "Camelyon16.csv", index=False
+    )
+
+    summary = train_cli.main([
+        "--dataset=camelyon16", "--embedding=official", "--arch=snuffy",
+        "--feats_size=16", "--num_heads=2", "--big_lambda=8",
+        "--num_epochs=3", "--lr=2e-3", "--optimizer=adamw",
+        "--split=0.4", "--use_mp=0", "--use_pallas=0",
+    ])
+    assert summary["best_epoch"] >= 1
+    assert "test_best" in summary
