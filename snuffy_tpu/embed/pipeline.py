@@ -176,7 +176,12 @@ def extract_dataset(
                 batch_size, img_size, imagenet_norm, pool,
             )
             slide = os.path.basename(bag_dir)
-            rel = os.path.relpath(bag_dir, os.path.join(dataset_path, "single"))
+            # Output layout strips the fold dir: <out_dir>/<split>/<class>/
+            # <slide>.csv (reference compute_feats.py:262-266) — train.py's
+            # split-by-folder prefix filter depends on this exact shape.
+            rel = os.path.relpath(
+                bag_dir, os.path.join(dataset_path, "single", fold)
+            )
             out_csv = os.path.join(out_dir, rel + ".csv")
             positions = [parse_position(p) or "" for p in patch_paths]
             labels = None

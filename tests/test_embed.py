@@ -198,3 +198,55 @@ def test_mae_embed_shape():
         variables, imgs, method=MaskedAutoencoderViT.embed_tokens
     )
     assert emb.shape == (2, 48)
+
+
+def test_compute_feats_to_train_handoff(tmp_path, monkeypatch):
+    """The L4→L5 artifact contract: compute_feats output feeds train.py's
+    split-by-folder loader (fold dir stripped; 'valid' prefix matches the
+    'validation' folder like the reference's startswith filter)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from PIL import Image
+
+    from snuffy_tpu.embed.pipeline import extract_dataset, write_dataset_csv
+    from snuffy_tpu.embed.registry import build_embedder
+
+    rng = np.random.default_rng(0)
+    dataset_path = tmp_path / "datasets" / "camelyon16"
+    for split in ("train", "validation", "test"):
+        for cls in ("0_normal", "1_tumor"):
+            for b in range(2):
+                d = dataset_path / "single" / "fold1" / split / cls / \
+                    f"{cls[2:]}_{split}_{b}"
+                d.mkdir(parents=True)
+                for p in range(2):
+                    arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                    Image.fromarray(arr).save(str(d / f"{p}_{p}.jpeg"))
+
+    embedder = build_embedder(embedder="SimCLR", backbone="resnet18",
+                              num_classes=1, img_size=32)
+    out_dir = tmp_path / "embeddings" / "camelyon16" / "SimCLR"
+    rows = extract_dataset(
+        embedder, str(dataset_path), "fold1", str(out_dir),
+        class_labels={"0_normal": 0, "1_tumor": 1},
+        batch_size=4, img_size=32,
+    )
+    write_dataset_csv(str(out_dir / "camelyon16.csv"), rows)
+    # fold dir stripped from output paths
+    assert (out_dir / "train" / "0_normal").is_dir()
+    assert not (out_dir / "fold1").exists()
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    cfg = train_cli.build_config(train_cli.get_args_parser().parse_args([
+        "--dataset=camelyon16", "--embedding=SimCLR", "--feats_size=512",
+        "--use_mp=0",
+    ]))
+    train_d, valid_d, test_d = train_cli.load_datasets(cfg)
+    assert len(train_d[0]) == 4
+    assert len(valid_d[0]) == 4   # 'valid' prefix matches 'validation'
+    assert len(test_d[0]) == 4
+    assert train_d[1][0].shape[1] == 512

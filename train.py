@@ -182,8 +182,14 @@ def load_datasets(cfg):
         prefix = os.path.join(".", cfg.embeddings_path, cfg.dataset, cfg.embedding)
         bags_df = pd.read_csv(os.path.join(prefix, f"{cfg.dataset}.csv"))
         col = bags_df.columns[0]
+        # Path-normalized prefix filter (reference train.py:586-593 —
+        # 'valid' is a deliberate prefix of the 'validation' folder).
+        paths_abs = bags_df[col].map(os.path.abspath)
+        prefix_abs = os.path.abspath(prefix)
         splits = tuple(
-            bags_df[bags_df[col].str.startswith(f"{prefix}/{name}")]
+            bags_df[paths_abs.str.startswith(
+                os.path.join(prefix_abs, name)
+            )]
             for name in ("train", "valid", "test")
         )
 
