@@ -96,8 +96,10 @@ def main(argv=None):
             args.batch_size,
         )
         padded, mask = pad_bag(feats.astype(np.float32))
+        import jax.numpy as jnp
+
         ins_logits, bag_logits, _ = model.apply(
-            {"params": params}, padded, mask, True,
+            {"params": params}, jnp.asarray(padded), jnp.asarray(mask), True,
             rngs={"sparse": jax.random.PRNGKey(0)},
         )
         scores = np.asarray(jax.nn.sigmoid(ins_logits))[: len(patches), 0]
