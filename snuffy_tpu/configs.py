@@ -12,7 +12,7 @@ from __future__ import annotations
 import ast
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 HISTOPATHOLOGY_DATASETS = ("camelyon16", "tcga")
 MIL_DATASETS = ("musk1", "musk2", "elephant")

@@ -14,7 +14,7 @@ import os
 import pickle
 from copy import deepcopy
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from snuffy_tpu.models.mae import (
     mae_vit_large_patch16,
 )
 from snuffy_tpu.models.resnet import ResNet18
-from snuffy_tpu.models.vit import VisionTransformer, vit_base, vit_small
+from snuffy_tpu.models.vit import vit_base, vit_small
 
 EMBEDDER_FEAT_DIMS = {
     "resnet18": 512,

@@ -16,7 +16,7 @@ Weight layout conversions (torch → flax):
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

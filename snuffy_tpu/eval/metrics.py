@@ -8,7 +8,7 @@ comparable numbers.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 from sklearn.metrics import roc_auc_score, roc_curve

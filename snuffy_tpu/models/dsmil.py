@@ -13,7 +13,7 @@ column-normalized — unlike Snuffy's per-row softmax).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -13,9 +13,6 @@ Output: (B, 512) global-average-pooled features.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

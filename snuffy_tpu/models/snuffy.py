@@ -36,7 +36,6 @@ Faithfully kept quirks:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn

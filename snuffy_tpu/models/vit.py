@@ -22,8 +22,6 @@ LoRA-style init: down kaiming-normal(a=√5) ⇒ N(0, 1/(3·fan_in)); up zeros.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ chooses the collectives (psum / all-gather / reduce-scatter) and rides ICI.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

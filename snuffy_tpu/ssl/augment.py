@@ -10,7 +10,6 @@ host again. All shapes static; randomness from `jax.random` keys.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

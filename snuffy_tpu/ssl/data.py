@@ -13,7 +13,7 @@ from __future__ import annotations
 import glob
 import multiprocessing as mp
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

@@ -26,7 +26,6 @@ EMA) is ONE jitted function with donated state.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -12,7 +12,7 @@ Covers the reference's remaining optimizer surface:
 from __future__ import annotations
 
 import re
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

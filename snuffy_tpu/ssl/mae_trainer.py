@@ -22,7 +22,7 @@ NaN handling matches the reference's hard stop (main_pretrain_adapter.py:404):
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,12 +21,11 @@ import re
 import time
 from typing import Dict, List, Optional, Tuple
 
-import jax
 import numpy as np
 from flax import serialization
 
-from snuffy_tpu.configs import MILTrainConfig, MIL_DATASETS, HISTOPATHOLOGY_DATASETS
-from snuffy_tpu.data.bags import BagData, dropout_patches, l2_normalize_rows
+from snuffy_tpu.configs import MILTrainConfig, MIL_DATASETS
+from snuffy_tpu.data.bags import dropout_patches, l2_normalize_rows
 from snuffy_tpu.data.bucketing import DEFAULT_BUCKETS, pad_bag
 from snuffy_tpu.eval.metrics import (
     compute_accuracy,

@@ -27,7 +27,6 @@ Optimizer semantics (reference train.py:165-180, 809-826):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -35,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig, SnuffyModelConfig
+from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig
 from snuffy_tpu.models.snuffy import MILNet, build_milnet
 from snuffy_tpu.train.losses import mixed_mil_loss
 
