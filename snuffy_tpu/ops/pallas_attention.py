@@ -111,7 +111,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref,
     p = _softmax_block(q, k, kmask, scale)
     p = p * qmask[:, None]             # dead query rows contribute 0
     if rate > 0.0:
-        p = p * _keep_factor(seed_ref[0], hh, i, q.shape[0], k.shape[0], rate)
+        p = p * _keep_factor(seed_ref[0, 0], hh, i, q.shape[0], k.shape[0],
+                             rate)
 
     acc_ref[:] += jax.lax.dot_general(
         p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -131,7 +132,8 @@ def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n):
         out_shape=jax.ShapeDtypeStruct((h, s, dk), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda hh, i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
@@ -186,7 +188,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
     sigma = _softmax_block(q, k, kmask, scale)
     factor = qmask[:, None]
     if rate > 0.0:
-        factor = factor * _keep_factor(seed_ref[0], hh, i, q.shape[0],
+        factor = factor * _keep_factor(seed_ref[0, 0], hh, i, q.shape[0],
                                        k.shape[0], rate)
     p = sigma * factor                       # (TN, S)
 
@@ -225,7 +227,8 @@ def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda hh, i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
@@ -313,7 +316,10 @@ def fused_inverted_sparse_attention(
 
     if dropout_seed is None:
         dropout_seed = jnp.zeros((), jnp.int32)
-    seed = jnp.reshape(dropout_seed.astype(jnp.int32), (1,))
+    # The seed rides in a full (8, 128) VMEM tile rather than an SMEM scalar:
+    # pallas_call's vmap batching rule cannot batch blocked SMEM operands on
+    # TPU (eval/batched-bags paths vmap this op).
+    seed = jnp.full((8, 128), jnp.reshape(dropout_seed, ()).astype(jnp.int32))
 
     scale = 1.0 / (dk ** 0.5)
     out = _sparse_attention_padded(
