@@ -1,0 +1,69 @@
+"""Secondary throughput benchmarks (not the driver headline): batched-bags
+training mode and bag-inference throughput at Camelyon16 scale."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from snuffy_tpu.configs import (
+        MILTrainConfig, OptimizerConfig, SnuffyModelConfig,
+    )
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(
+            feats_size=384, num_heads=4, big_lambda=512,
+            random_patch_share=0.5, activation="gelu", depth=2,
+            compute_dtype="bfloat16",
+        ),
+        optim=OptimizerConfig(optimizer="adamw", lr=2e-2),
+        soft_average=True,
+    )
+    trainer = SnuffyTrainer(cfg)
+    n_pad, n_valid, B = 16384, 10000, 8
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((B, n_pad, 384)), jnp.float32)
+    masks = jnp.asarray(np.arange(n_pad)[None] < n_valid).repeat(B, axis=0)
+    labels = jnp.asarray(rng.integers(0, 2, (B, 1)), jnp.float32)
+    bag_w = jnp.ones((B,), jnp.float32)
+    lr = jnp.asarray(2e-2, jnp.float32)
+    state = trainer.init_state(0, example_n=n_pad)
+
+    # batched-bags training (one optimizer step per B bags)
+    bf = trainer.train_bucket_batched_fn(n_pad, B)
+    state, l, *_ = bf(state, feats, masks, labels, bag_w, lr,
+                      jax.random.PRNGKey(0))
+    float(np.asarray(l).sum())
+    t0 = time.perf_counter()
+    iters = 5
+    for i in range(iters):
+        state, l, *_ = bf(state, feats, masks, labels, bag_w, lr,
+                          jax.random.PRNGKey(i))
+        float(np.asarray(l).sum())
+    dt = time.perf_counter() - t0
+    print(f"batched-train: {B * iters / dt:.1f} bags/s "
+          f"({dt / iters * 1e3:.1f} ms per {B}-bag step)", flush=True)
+
+    # inference (vmapped eval)
+    ef = trainer.eval_bucket_fn(n_pad)
+    group = {"model": state.params, "w": state.w}
+    l, s, ins = ef(group, feats, masks, labels, jax.random.PRNGKey(0))
+    float(np.asarray(l).sum())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        l, s, ins = ef(group, feats, masks, labels, jax.random.PRNGKey(i))
+        float(np.asarray(l).sum())
+    dt = time.perf_counter() - t0
+    print(f"inference: {B * iters / dt:.1f} bags/s "
+          f"({dt / iters / B * 1e3:.2f} ms per 10k-patch bag)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
