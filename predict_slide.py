@@ -18,7 +18,8 @@ import numpy as np
 
 def get_args_parser():
     p = argparse.ArgumentParser("Snuffy end-to-end slide inference")
-    p.add_argument("--slide", required=True)
+    p.add_argument("--slide", required=True,
+                   help="slide TIF path or glob (batch serving)")
     p.add_argument("--embedder", default="SimCLR", type=str)
     p.add_argument("--backbone", default="resnet18", type=str)
     p.add_argument("--embedder_weights", default=None, type=str)
@@ -94,21 +95,27 @@ def main(argv=None):
         objective_power=args.objective,
         base_mag=args.base_mag,
     )
-    pred = predict_slide(
-        args.slide, embed_fn, embedder.params, embedder.head_params,
-        milnet_apply, params,
-        tiler_cfg=tiler_cfg,
-        embed_batch=args.embed_batch,
-        embed_size=args.embed_size,
-        imagenet_norm=bool(args.transform),
-        workers=args.workers,
-    )
-    print(json.dumps({
-        "slide": args.slide,
-        "bag_score": pred.bag_score,
-        **pred.timings,
-    }))
-    return pred
+    import glob as globlib
+
+    slides = sorted(globlib.glob(args.slide)) or [args.slide]
+    preds = []
+    for slide_path in slides:
+        pred = predict_slide(
+            slide_path, embed_fn, embedder.params, embedder.head_params,
+            milnet_apply, params,
+            tiler_cfg=tiler_cfg,
+            embed_batch=args.embed_batch,
+            embed_size=args.embed_size,
+            imagenet_norm=bool(args.transform),
+            workers=args.workers,
+        )
+        print(json.dumps({
+            "slide": slide_path,
+            "bag_score": pred.bag_score,
+            **pred.timings,
+        }))
+        preds.append(pred)
+    return preds if len(preds) > 1 else preds[0]
 
 
 if __name__ == "__main__":

@@ -108,3 +108,42 @@ def test_missed_tumor_reduces_score():
     )
     assert score == 0.0
     assert max(sens) == 0.0
+
+
+def test_froc_cli_end_to_end(tmp_path):
+    """Root froc.py CLI on detection CSVs + a real mask TIFF."""
+    import pandas as pd
+    from PIL import Image
+
+    import froc as cli
+
+    masks = tmp_path / "masks"
+    masks.mkdir()
+    size, tumor = 2048, 1200
+    arr = np.zeros((size, size), np.uint8)
+    arr[:tumor, :tumor] = 2
+    Image.fromarray(arr).save(str(masks / "tumor_001_mask.tif"))
+
+    dets = tmp_path / "detections"
+    dets.mkdir()
+    pd.DataFrame(
+        {"p": [0.9, 0.3], "x": [256, 1800], "y": [256, 1800]}
+    ).to_csv(dets / "tumor_001.csv", index=False)
+    pd.DataFrame({"p": [0.5], "x": [100], "y": [100]}).to_csv(
+        dets / "normal_001.csv", index=False
+    )
+    ref = tmp_path / "reference.csv"
+    pd.DataFrame(
+        {"image": ["tumor_001.tif", "normal_001.tif"],
+         "type": ["tumor", "normal"]}
+    ).to_csv(ref, index=False)
+
+    score = cli.main([
+        "--reference", str(ref), "--masks", str(masks),
+        "--detections", str(dets), "--level", "5",
+        "--result", str(tmp_path / "froc.csv"),
+        "--plot", str(tmp_path / "froc.png"),
+    ])
+    assert 0.0 < score <= 1.0
+    assert (tmp_path / "froc.csv").exists()
+    assert (tmp_path / "froc.png").exists()
