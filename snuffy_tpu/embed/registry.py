@@ -61,8 +61,21 @@ class Embedder:
         logits = feats @ self.head_params["kernel"] + self.head_params["bias"]
         return feats, logits
 
-    def jit_apply(self):
+    def jit_apply(self, imagenet_norm: bool = False):
+        """Jitted (params, head, images) → (feats, logits).
+
+        Accepts uint8 images and normalizes ON DEVICE — host→device
+        payloads stay 4× smaller than float32 (the transfer is the
+        bottleneck on thin host links).
+        """
+        mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+        std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
         def fn(p, hp, im):
+            if im.dtype == jnp.uint8:
+                im = im.astype(jnp.float32) / 255.0
+            if imagenet_norm:
+                im = (im - mean) / std
             feats = self.backbone_apply(p, im)
             return feats, feats @ hp["kernel"] + hp["bias"]
 

@@ -83,6 +83,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
+    lib.tiff_write_tiled_rgb.restype = ctypes.c_int
+    lib.tiff_write_tiled_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -192,3 +198,21 @@ def parse_bag_csv_fast(path: str, max_rows: int = 65536,
     if rows < 0:
         return None
     return out[:rows, : n_cols.value].copy()
+
+
+def write_tiled_tiff(path: str, levels, tile: int = 256,
+                     jpeg_quality: int = 75) -> None:
+    """Write a tiled pyramidal TIFF from a list of (H, W, 3) uint8 arrays
+    (level 0 first). Tiled layout keeps region reads O(region), which is
+    what real scanner WSIs use — synthetic fixtures should match."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    for i, arr in enumerate(levels):
+        arr = np.ascontiguousarray(arr, np.uint8)
+        rc = lib.tiff_write_tiled_rgb(
+            path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arr.shape[1], arr.shape[0], tile, 1 if i else 0, jpeg_quality,
+        )
+        if rc != 0:
+            raise IOError(f"tiff_write_tiled_rgb failed rc={rc}")

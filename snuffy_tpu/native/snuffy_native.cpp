@@ -29,6 +29,10 @@ struct SlideHandle {
   std::vector<uint32_t> widths;
   std::vector<uint32_t> heights;
   double spacing_um = 0.0;  // level-0 microns per pixel (0 = unknown)
+  // full-level RGBA cache for strip-layout levels (re-reading the whole
+  // level per region request would be quadratic in tile count)
+  int cached_level = -1;
+  std::vector<uint32_t> cache;
 };
 
 // Open a (possibly pyramidal) TIFF. Returns an opaque handle or null.
@@ -117,11 +121,17 @@ int slide_read_region(void* handle, int level, uint32_t x, uint32_t y,
     return 0;
   }
 
-  // Strip layout: read the whole level once (masks/thumbnails are small).
-  std::vector<uint32_t> full((size_t)lw * lh);
-  if (!TIFFReadRGBAImageOriented(tif, lw, lh, full.data(),
-                                 ORIENTATION_TOPLEFT, 0))
-    return -3;
+  // Strip layout: decode the whole level once and cache it on the handle.
+  if (s->cached_level != level) {
+    s->cache.assign((size_t)lw * lh, 0);
+    if (!TIFFReadRGBAImageOriented(tif, lw, lh, s->cache.data(),
+                                   ORIENTATION_TOPLEFT, 0)) {
+      s->cached_level = -1;
+      return -3;
+    }
+    s->cached_level = level;
+  }
+  const uint32_t* full = s->cache.data();
   for (uint32_t ry = 0; ry < h; ++ry) {
     uint32_t gy = y + ry;
     if (gy >= lh) break;
@@ -153,6 +163,49 @@ void slide_close(void* handle) {
   auto* s = (SlideHandle*)handle;
   if (s->tif) TIFFClose(s->tif);
   delete s;
+}
+
+// Write one tiled-TIFF directory (pyramid level). Call once per level with
+// append=0 on the first and append=1 after; data is (h, w, 3) RGB.
+// Enables synthetic WSI-scale fixtures and a tiled re-encoder for strip
+// sources. Returns 0 on success.
+int tiff_write_tiled_rgb(const char* path, const uint8_t* rgb, uint32_t w,
+                         uint32_t h, uint32_t tile, int append,
+                         int jpeg_quality) {
+  TIFF* tif = TIFFOpen(path, append ? "a" : "w");
+  if (!tif) return -1;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_TILEWIDTH, tile);
+  TIFFSetField(tif, TIFFTAG_TILELENGTH, tile);
+  if (jpeg_quality > 0) {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, jpeg_quality);
+  } else {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+  }
+  std::vector<uint8_t> buf((size_t)tile * tile * 3);
+  for (uint32_t ty = 0; ty < h; ty += tile) {
+    for (uint32_t tx = 0; tx < w; tx += tile) {
+      std::fill(buf.begin(), buf.end(), 255);
+      for (uint32_t ry = 0; ry < tile && ty + ry < h; ++ry) {
+        const uint8_t* src = rgb + ((size_t)(ty + ry) * w + tx) * 3;
+        uint32_t count = (tx + tile <= w) ? tile : (w - tx);
+        memcpy(buf.data() + (size_t)ry * tile * 3, src, (size_t)count * 3);
+      }
+      if (TIFFWriteTile(tif, buf.data(), tx, ty, 0, 0) < 0) {
+        TIFFClose(tif);
+        return -2;
+      }
+    }
+  }
+  TIFFWriteDirectory(tif);
+  TIFFClose(tif);
+  return 0;
 }
 
 // ---------------------------------------------------------------- JPEG write

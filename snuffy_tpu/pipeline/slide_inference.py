@@ -105,7 +105,8 @@ def predict_slide(
     tiler_cfg: Optional[TilerConfig] = None,
     embed_batch: int = 256,
     embed_size: int = 224,
-    imagenet_norm: bool = False,
+    imagenet_norm: bool = False,  # retained for API; bake into embed_fn via
+                                  # Embedder.jit_apply(imagenet_norm=True)
     workers: int = 8,
 ) -> SlidePrediction:
     import cv2
@@ -131,14 +132,14 @@ def predict_slide(
             chunk = np.stack([
                 cv2.resize(t, (embed_size, embed_size)) for t in chunk
             ])
-        batch = chunk.astype(np.float32) / 255.0
-        if imagenet_norm:
-            batch = (batch - IMAGENET_MEAN) / IMAGENET_STD
+        # ship uint8; the jitted embedder casts/normalizes on device
+        # (4x less host->device traffic than float32 pixels)
+        batch = chunk
         if len(chunk) < embed_batch:
             batch = np.concatenate([
                 batch,
                 np.zeros((embed_batch - len(chunk),) + batch.shape[1:],
-                         np.float32),
+                         np.uint8),
             ])
         feats, _ = embed_fn(embedder_params, embedder_head_params,
                             jnp.asarray(batch))
