@@ -289,7 +289,7 @@ def fused_inverted_sparse_attention(
     *,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,  # scalar int32
-    tile_n: int = 512,
+    tile_n: int = 1024,
 ) -> jnp.ndarray:
     """Fused (no p materialization) inverted sparse attention → (h, S, dk).
 
