@@ -299,6 +299,9 @@ def fused_inverted_sparse_attention(
     s = k.shape[1]
     dk_p = _round_up(dk, 128)
     s_p = _round_up(s, 128)
+    # Small bags should not pad up to a full tile (the model path calls
+    # with the global default; MUSK-scale bags are <128 tokens).
+    tile_n = min(tile_n, _round_up(n, 128))
     n_p = _round_up(n, tile_n)
 
     def pad3(x, nn, cc):
