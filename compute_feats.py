@@ -82,8 +82,9 @@ def build_and_load_embedder(args):
         else:
             imported = ti.import_vit(sd)
         matched, mismatched = ti.check_layers(imported, embedder.params)
-        print(f"checkpoint import: {len(matched)} matched, "
-              f"{len(mismatched)} missing/mismatched layers")
+        from snuffy_tpu.utils.tables import print_layer_audit
+
+        print_layer_audit(matched, mismatched)
         embedder.params = ti.merge_into(embedder.params, imported)
     return embedder
 
