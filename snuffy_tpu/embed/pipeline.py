@@ -65,7 +65,7 @@ def _decode_one(args):
     img = Image.open(path).convert("RGB")
     if img.size != (size, size):
         img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
 
 
 def decode_batch(paths: Sequence[str], size: int, pool: Optional[mp.Pool]):
@@ -78,8 +78,10 @@ def decode_batch(paths: Sequence[str], size: int, pool: Optional[mp.Pool]):
 
 
 def normalize_batch(batch: np.ndarray, imagenet: bool) -> np.ndarray:
+    """Host-side normalization fallback; the jitted embedders normalize on
+    device (Embedder.jit_apply), so batches normally stay uint8."""
     if imagenet:
-        return (batch - IMAGENET_MEAN) / IMAGENET_STD
+        return (batch.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return batch
 
 
@@ -111,8 +113,9 @@ def compute_bag_feats(
     n = len(patch_paths)
     for start in range(0, n, batch_size):
         chunk = patch_paths[start:start + batch_size]
+        # uint8 to the device; the jitted embedder casts + normalizes there
+        # (4x smaller host->device transfers).
         batch = decode_batch(chunk, img_size, pool)
-        batch = normalize_batch(batch, imagenet_norm)
         if len(chunk) < batch_size:
             pad = np.zeros(
                 (batch_size - len(chunk),) + batch.shape[1:], batch.dtype
@@ -159,7 +162,7 @@ def extract_dataset(
 ) -> List[Tuple[str, int]]:
     """Full extraction: every bag under `<dataset>/single/<fold>` → one CSV
     under out_dir, plus the dataset CSV. Returns the dataset rows."""
-    embed_fn = embedder.jit_apply()
+    embed_fn = embedder.jit_apply(imagenet_norm=imagenet_norm)
     patch_labels = load_patch_labels(tile_label_csv) if tile_label_csv else None
     pool = mp.Pool(num_workers) if num_workers > 0 else None
     rows: List[Tuple[str, int]] = []

@@ -250,3 +250,22 @@ def test_compute_feats_to_train_handoff(tmp_path, monkeypatch):
     assert len(valid_d[0]) == 4   # 'valid' prefix matches 'validation'
     assert len(test_d[0]) == 4
     assert train_d[1][0].shape[1] == 512
+
+
+def test_native_csv_parser_matches_pandas(tmp_path):
+    from snuffy_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    arr = (rng.standard_normal((200, 64)) * 10).astype(np.float32)
+    path = str(tmp_path / "bag.csv")
+    pd.DataFrame(arr, columns=[str(i) for i in range(64)]).to_csv(
+        path, index=False, float_format="%.6f"
+    )
+    fast = native.parse_bag_csv_fast(path)
+    ref = pd.read_csv(path).to_numpy(np.float32)
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
