@@ -106,9 +106,9 @@ def ece_loss(
     confidences = probabilities.max(axis=1)
     confidences = np.where(confidences < 0.5, 1.0 - confidences, confidences)
     predictions = (probabilities >= threshold).astype(float)
-    accuracies = np.all(
-        np.equal(predictions, labels.reshape(predictions.shape)), axis=1
-    )
+    # per-element (not exact-match) accuracy matrix: the in-bin mean then
+    # averages over classes, matching reference metrics.py:41-46,76-78
+    accuracies = np.equal(predictions, labels.reshape(predictions.shape))
 
     bin_boundaries = np.linspace(0.0, 1.0, n_bins + 1)
     ece = 0.0
@@ -116,7 +116,7 @@ def ece_loss(
         in_bin = (confidences > lo) & (confidences <= hi)
         prop = float(np.mean(in_bin))
         if prop > 0:
-            acc = float(np.mean(accuracies[in_bin]))
+            acc = float(np.mean(accuracies[in_bin]))  # mean over rows+classes
             conf = float(np.mean(confidences[in_bin]))
             ece += prop * abs(conf - acc)
     return float(ece)

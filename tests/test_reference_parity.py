@@ -599,3 +599,38 @@ def test_snuffy_multiclass_parity(ref_modules):
     np.testing.assert_allclose(
         np.asarray(ins), _t2n(ref_ins).reshape(n, c), rtol=2e-3, atol=2e-4
     )
+
+
+def test_ece_parity_with_reference_metrics():
+    """eval.metrics.ece_loss vs the reference's ECELoss on identical
+    scores/labels (binary sigmoid scores, the train.py:415-451 call shape)."""
+    import importlib
+
+    from snuffy_tpu.eval.metrics import ece_loss
+
+    sys.path.insert(0, REF)
+    try:
+        ref_metrics = importlib.import_module("metrics")
+    finally:
+        sys.path.remove(REF)
+
+    rng = np.random.default_rng(0)
+    n = 200
+    labels = rng.integers(0, 2, (n, 1)).astype(float)
+    # semi-calibrated scores
+    scores = np.clip(
+        labels[:, 0] * 0.6 + rng.random(n) * 0.5, 0.0, 1.0
+    ).reshape(n, 1)
+
+    ref = ref_metrics.ECELoss().loss(scores, labels, 0.5, n_bins=10,
+                                     logits=False)
+    mine = ece_loss(scores, labels, 0.5, n_bins=10, logits=False)
+    np.testing.assert_allclose(mine, ref, rtol=1e-6, atol=1e-8)
+
+    # logits mode too
+    logits = rng.standard_normal((n, 3))
+    labels3 = np.eye(3)[rng.integers(0, 3, n)]
+    ref = ref_metrics.ECELoss().loss(logits, labels3, 0.5, n_bins=15,
+                                     logits=True)
+    mine = ece_loss(logits, labels3, 0.5, n_bins=15, logits=True)
+    np.testing.assert_allclose(mine, ref, rtol=1e-6, atol=1e-8)
