@@ -634,3 +634,55 @@ def test_ece_parity_with_reference_metrics():
                                      logits=True)
     mine = ece_loss(logits, labels3, 0.5, n_bins=15, logits=True)
     np.testing.assert_allclose(mine, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_froc_math_parity_with_reference():
+    """compute_probabilities / compute_froc / compute_score vs the reference
+    froc.py (its ASAP/skimage imports stubbed; these functions don't touch
+    them at call time)."""
+    import importlib
+    import types
+
+    for name in ("multiresolutionimageinterface", "skimage",
+                 "skimage.measure"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+    mpl = types.ModuleType("matplotlib.pyplot")
+    sys.modules.setdefault("matplotlib.pyplot", mpl)
+
+    sys.path.insert(0, REF)
+    try:
+        ref_froc = importlib.import_module("froc")
+    finally:
+        sys.path.remove(REF)
+
+    from snuffy_tpu.eval import froc as mine
+
+    rng = np.random.default_rng(0)
+    # synthetic evaluation mask with 3 regions, one ITC
+    ev = np.zeros((80, 80), int)
+    ev[5:25, 5:25] = 1
+    ev[40:70, 40:60] = 2
+    ev[70, 10] = 3
+    itcs = {3}
+    dets = [(float(p), int(r), int(c))
+            for p, r, c in zip(rng.random(40),
+                               rng.integers(0, 80, 40),
+                               rng.integers(0, 80, 40))]
+
+    fp_r, tp_r, n_r = ref_froc.compute_probabilities(dets, ev, itcs)
+    fp_m, tp_m, n_m = mine.compute_probabilities(dets, ev, itcs)
+    assert fp_r == fp_m and tp_r == tp_m and n_r == n_m
+
+    froc_data = {
+        "a": {"fp": fp_r, "tp": tp_r, "count": n_r},
+        "b": {"fp": [0.4, 0.2], "tp": [0.9], "count": 1},
+    }
+    avg_r, sens_r, th_r = ref_froc.compute_froc(froc_data)
+    avg_m, sens_m, th_m = mine.compute_froc(froc_data)
+    np.testing.assert_allclose(avg_m, avg_r)
+    np.testing.assert_allclose(sens_m, sens_r)
+    assert th_m == th_r
+    assert mine.compute_score(avg_m, sens_m) == pytest.approx(
+        ref_froc.compute_score(avg_r, sens_r)
+    )
