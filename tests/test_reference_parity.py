@@ -640,7 +640,7 @@ def test_froc_math_parity_with_reference():
     """compute_probabilities / compute_froc / compute_score vs the reference
     froc.py (its ASAP/skimage imports stubbed; these functions don't touch
     them at call time)."""
-    import importlib
+    import importlib.util
     import types
 
     for name in ("multiresolutionimageinterface", "skimage",
@@ -650,9 +650,15 @@ def test_froc_math_parity_with_reference():
     mpl = types.ModuleType("matplotlib.pyplot")
     sys.modules.setdefault("matplotlib.pyplot", mpl)
 
+    # our root froc.py shares the module name — load the reference file
+    # under a unique name instead of import_module("froc")
+    spec = importlib.util.spec_from_file_location(
+        "ref_froc_module", os.path.join(REF, "froc.py")
+    )
+    ref_froc = importlib.util.module_from_spec(spec)
     sys.path.insert(0, REF)
     try:
-        ref_froc = importlib.import_module("froc")
+        spec.loader.exec_module(ref_froc)
     finally:
         sys.path.remove(REF)
 
