@@ -53,25 +53,32 @@ def _spec_for_path(path: Tuple[str, ...]) -> P:
     return P()
 
 
+def _path_names(path) -> Tuple[str, ...]:
+    return tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+
+
+def _sharding_by_path(tree: Any, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(_path_names(path))),
+        tree,
+    )
+
+
 def make_param_shardings(params: Any, mesh: Mesh):
     """NamedSharding pytree for the milnet params (tp where it pays off,
     replicated elsewhere)."""
-
-    def one(path, leaf):
-        names = tuple(
-            p.key if hasattr(p, "key") else str(p) for p in path
-        )
-        return NamedSharding(mesh, _spec_for_path(names))
-
-    return jax.tree_util.tree_map_with_path(one, params)
+    return _sharding_by_path(params, mesh)
 
 
 def make_state_shardings(state: MILTrainState, mesh: Mesh):
     param_sh = make_param_shardings(state.params, mesh)
-    # Adam moments mirror the param layout; everything else replicated.
-    opt_sh = jax.tree_util.tree_map(
-        lambda leaf: replicated(mesh), state.opt_state
-    )
+    # Adam moments MIRROR their params' layout: optax state pytrees embed the
+    # param tree, so each moment leaf's path ends with the same
+    # (layer, module, kernel/bias) suffix the TP rules match on. Scalars
+    # (step counts, the loss-mix w's moments) match no rule → replicated.
+    # Without this XLA would reshard replicated moments against tp-sharded
+    # grads every step (traffic + memory).
+    opt_sh = _sharding_by_path(state.opt_state, mesh)
     rep = replicated(mesh)
     return MILTrainState(param_sh, rep, opt_sh, rep)
 

@@ -19,12 +19,90 @@ def test_factor_devices():
     s8 = factor_devices(8)
     assert s8.n_devices == 8
     assert s8.sp > 1 and s8.tp > 1  # real multi-axis sharding at 8 devices
+    # Simulated 2-host grouping: dcn = process count, same total.
+    s8x2 = factor_devices(8, num_processes=2)
+    assert s8x2.dcn == 2 and s8x2.n_devices == 8
+    with pytest.raises(ValueError):
+        factor_devices(8, num_processes=3)
 
 
 def test_make_mesh_axes():
     mesh = make_mesh(factor_devices(8))
-    assert mesh.axis_names == ("dp", "sp", "tp")
+    assert mesh.axis_names == ("dcn", "dp", "sp", "tp")
     assert mesh.devices.size == 8
+
+
+def test_make_mesh_validates_tp_divides_heads():
+    spec = factor_devices(8)
+    assert spec.tp == 2
+    with pytest.raises(ValueError):
+        make_mesh(spec, num_heads=3)
+    make_mesh(spec, num_heads=4)  # divisible: fine
+
+
+def test_mesh_dcn_groups_by_process():
+    """Device blocks along the dcn axis must be contiguous process blocks
+    (host boundaries): with one process, sorted by id."""
+    mesh = make_mesh(factor_devices(8, num_processes=2))
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    assert ids.shape == (2, 2, 2, 1)
+    assert ids[0].max() < ids[1].min()
+
+
+def test_process_batch_slice_and_primary():
+    from snuffy_tpu.parallel.distributed import (
+        is_primary,
+        primary_only,
+        process_batch_slice,
+    )
+
+    assert is_primary()  # single-process run
+    assert process_batch_slice(8, process_index=0) == slice(0, 8)
+    calls = []
+    primary_only(lambda: calls.append(1))()
+    assert calls == [1]
+
+
+def test_moment_shardings_mirror_param_shardings():
+    """Adam mu/nu must get the SAME NamedSharding as their parameters —
+    never replicated against tp-sharded params (VERDICT r1 weak #3)."""
+    from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig, SnuffyModelConfig
+    from snuffy_tpu.parallel.sharded_train import make_state_shardings
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(feats_size=32, num_heads=2, big_lambda=8),
+        optim=OptimizerConfig(optimizer="adamw", lr=1e-3),
+        soft_average=True,
+    )
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0, example_n=64)
+    mesh = make_mesh(factor_devices(8))
+    sh = make_state_shardings(state, mesh)
+
+    param_specs = {}
+    def collect(path, s):
+        names = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        param_specs[names] = s.spec
+    jax.tree_util.tree_map_with_path(collect, sh.params)
+    assert any(s != jax.sharding.PartitionSpec() for s in param_specs.values())
+
+    # Every sharded param suffix must appear with the same spec in opt_state.
+    opt_specs = []
+    def collect_opt(path, s):
+        names = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        opt_specs.append((names, s.spec))
+    jax.tree_util.tree_map_with_path(collect_opt, sh.opt_state)
+    for pnames, pspec in param_specs.items():
+        if pspec == jax.sharding.PartitionSpec():
+            continue
+        matches = [
+            ospec
+            for onames, ospec in opt_specs
+            if len(onames) >= len(pnames) and onames[-len(pnames):] == pnames
+        ]
+        assert matches, f"no moment entries found for {pnames}"
+        assert all(m == pspec for m in matches), (pnames, pspec, matches)
 
 
 def test_dryrun_multichip_8():
