@@ -40,6 +40,12 @@ def get_args_parser():
     p.add_argument("--lr", default=0.0005, type=float)
     p.add_argument("--warmup_epochs", default=10, type=int)
     p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--optimizer", default="adamw", type=str,
+                   choices=["adamw", "sgd", "lars"],
+                   help="adamw for ViTs; sgd/lars for convnets and large "
+                        "batches (reference main_dino_adapter.py:117-119)")
+    p.add_argument("--drop_path_rate", default=0.1, type=float,
+                   help="stochastic depth rate")
     p.add_argument("--global_crops_scale", type=float, nargs="+",
                    default=(0.4, 1.0))
     p.add_argument("--local_crops_number", default=8, type=int)
@@ -54,6 +60,10 @@ def get_args_parser():
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--full_checkpoint", default=None, type=str,
                    help="published DINO .pth to start from (frozen backbone)")
+    p.add_argument("--random_head", default=0, type=int,
+                   help="1 = train head from scratch even when the "
+                        "checkpoint has one (reference "
+                        "main_dino_adapter.py:155-157)")
     p.add_argument("--adapter_ffn_scalar", default=4.0, type=float)
     p.add_argument("--ffn_num", default=64, type=int)
     p.add_argument("--use_adapter", default=True, type=bool)
@@ -81,6 +91,7 @@ def train_dino(args):
         patch_size=args.patch_size, output="cls",
         use_adapter=args.use_adapter, adapter_bottleneck=args.ffn_num,
         adapter_scale=args.adapter_ffn_scalar,
+        drop_path_rate=args.drop_path_rate,
     )
     trainer = DINOTrainer(
         backbone,
@@ -95,16 +106,33 @@ def train_dino(args):
         freeze_last_layer=args.freeze_last_layer,
         clip_grad=args.clip_grad,
         norm_last_layer=args.norm_last_layer,
+        optimizer=args.optimizer,
     )
     state = trainer.init_state(args.seed)
 
     if args.full_checkpoint:
-        sd = ti.load_torch_state_dict(args.full_checkpoint)
-        imported = ti.import_vit(sd)
-        merged = ti.merge_into(state.student["backbone"], imported)
-        student = {"backbone": merged, "head": state.student["head"]}
-        teacher = jax.tree_util.tree_map(jnp.copy, student)
-        state = state._replace(student=student, teacher=teacher)
+        parts = ti.load_torch_full_checkpoint(args.full_checkpoint)
+        if parts:
+            # Full training checkpoint: student + teacher, backbone + head
+            # with shape filtering / --random_head (reference
+            # main_dino_adapter.py:239-311).
+            loaded = ti.import_dino_student_teacher(
+                parts, state.student, state.teacher,
+                random_head=bool(args.random_head),
+            )
+            student = loaded.get("student", state.student)
+            teacher = loaded.get(
+                "teacher", jax.tree_util.tree_map(jnp.copy, student)
+            )
+            state = state._replace(student=student, teacher=teacher)
+        else:
+            # Plain backbone weights (published DINO backbone .pth).
+            sd = ti.load_torch_state_dict(args.full_checkpoint)
+            imported = ti.import_vit(sd)
+            merged = ti.merge_into(state.student["backbone"], imported)
+            student = {"backbone": merged, "head": state.student["head"]}
+            teacher = jax.tree_util.tree_map(jnp.copy, student)
+            state = state._replace(student=student, teacher=teacher)
         print(f"loaded full checkpoint from {args.full_checkpoint}")
 
     paths, _ = list_image_folder(args.data_path)
@@ -159,6 +187,13 @@ def train_dino(args):
         )
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {ckpt} at epoch {start_epoch}")
+        # wandb-history-replay equivalent: keep each epoch's metrics exactly
+        # once across restarts (reference main_dino_adapter.py:383-446).
+        from snuffy_tpu.utils.logging import truncate_log_past_epoch
+
+        truncate_log_past_epoch(
+            os.path.join(args.output_dir, "log.txt"), start_epoch
+        )
 
     it = start_epoch * iters
     key = jax.random.PRNGKey(args.seed + start_epoch)

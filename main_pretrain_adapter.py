@@ -139,6 +139,13 @@ def train_mae(args):
         state = state._replace(params=payload["params"], step=payload["step"])
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {rolling} at epoch {start_epoch}")
+        # wandb-history-replay equivalent: keep each epoch's metrics exactly
+        # once across restarts (reference main_pretrain_adapter.py:223-276).
+        from snuffy_tpu.utils.logging import truncate_log_past_epoch
+
+        truncate_log_past_epoch(
+            os.path.join(args.output_dir, "log.txt"), start_epoch
+        )
 
     key = jax.random.PRNGKey(args.seed + start_epoch)
     best_val, best_path = float("inf"), None

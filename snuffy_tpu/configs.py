@@ -44,6 +44,9 @@ class SnuffyModelConfig:
     weight_init_i: str = "xavier_normal"
     weight_init_b: str = "xavier_normal"
     use_pallas: bool = True        # use the Pallas sparse-attention kernel on TPU
+    # N-axis tile of the Pallas kernel; 2048 measured fastest at the
+    # Camelyon16 operating point (N_pad 10240) on v5e, see tools/bench_ab.py.
+    pallas_tile_n: int = 2048
     param_dtype: str = "float32"
     # activation/matmul dtype; params and losses stay float32. 'bfloat16'
     # is the TPU-native choice (MXU runs bf16 at 2x float32 throughput).

@@ -151,6 +151,104 @@ def import_mae(sd: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+def load_torch_full_checkpoint(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Full DINO training checkpoint {'student': sd, 'teacher': sd, ...} →
+    {'student': {k: np.ndarray}, 'teacher': ...} (reference
+    dino_adapter/main_dino_adapter.py:239-243). Parts absent from the file
+    are absent from the result."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for part in ("student", "teacher"):
+        if isinstance(ckpt, dict) and isinstance(ckpt.get(part), dict):
+            out[part] = {
+                k: v.detach().cpu().numpy()
+                for k, v in ckpt[part].items()
+                if hasattr(v, "detach")
+            }
+    return out
+
+
+# torch DINOHead Sequential indices → flax DINOHead module names
+# (GELUs sit at mlp.1 / mlp.3; reference
+# dino_adapter/vision_transformer_with_adapter.py:287-297).
+_DINO_HEAD_MLP = {"mlp.0": "mlp_0", "mlp.2": "mlp_1", "mlp.4": "mlp_2"}
+
+
+def import_dino_head(sd: Dict[str, np.ndarray], template: dict,
+                     random_head: bool = False) -> dict:
+    """DINOHead torch keys ('head.' prefix stripped) → flax params, with the
+    reference's full-checkpoint filtering (main_dino_adapter.py:246-305):
+
+      * any head tensor whose shape disagrees with the target model is
+        dropped (e.g. different out_dim), as is everything when
+        `random_head` — dropped keys keep their init values;
+      * weight-norm mapping: last_layer.weight_v (out,in) → last_layer_v
+        (in,out); weight_g (out,1) → last_layer_g (out,); a plain
+        last_layer.weight is treated as weight_v (the vit_base published
+        checkpoint case, main_dino_adapter.py:253-254,283-288) and weight_g
+        keeps the template's value.
+    """
+    tree: dict = {}
+
+    def try_set(flax_path: Tuple[str, ...], arr: np.ndarray):
+        node = template
+        for p in flax_path:
+            if not isinstance(node, dict) or p not in node:
+                return
+            node = node[p]
+        if random_head or tuple(np.shape(node)) != tuple(arr.shape):
+            return
+        _set(tree, flax_path, arr)
+
+    for tk, fk in _DINO_HEAD_MLP.items():
+        if f"{tk}.weight" in sd:
+            try_set((fk, "kernel"), sd[f"{tk}.weight"].T)
+        if f"{tk}.bias" in sd:
+            try_set((fk, "bias"), sd[f"{tk}.bias"])
+    v = sd.get("last_layer.weight_v")
+    if v is None:
+        v = sd.get("last_layer.weight")
+    if v is not None:
+        try_set(("last_layer_v",), v.T)
+    if "last_layer.weight_g" in sd and "last_layer.weight_v" in sd:
+        try_set(("last_layer_g",), sd["last_layer.weight_g"].reshape(-1))
+    return tree
+
+
+def import_dino_student_teacher(
+    parts: Dict[str, Dict[str, np.ndarray]],
+    student_template: dict,
+    teacher_template: dict,
+    random_head: bool = False,
+) -> Dict[str, dict]:
+    """Full-checkpoint continue-pretraining load: backbone + filtered head
+    for both networks, merged strict=False onto the init templates
+    (reference main_dino_adapter.py:239-311)."""
+    out = {}
+    for name, template in (("student", student_template),
+                           ("teacher", teacher_template)):
+        sd = parts.get(name)
+        if sd is None:
+            continue
+        sd = {k[len("module."):] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+        backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                       if k.startswith("backbone.")}
+        head_sd = {k[len("head."):]: v for k, v in sd.items()
+                   if k.startswith("head.")}
+        tree: dict = {}
+        if backbone_sd:
+            tree["backbone"] = import_vit(backbone_sd)
+        if head_sd:
+            tree["head"] = import_dino_head(
+                head_sd, template.get("head", {}), random_head
+            )
+        out[name] = merge_into(template, tree)
+    return out
+
+
 def import_resnet18(sd: Dict[str, np.ndarray], norm: str = "instance") -> dict:
     """torchvision resnet18 state dict → params for models.resnet.ResNet18.
 

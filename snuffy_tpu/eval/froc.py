@@ -76,11 +76,13 @@ class PILMaskReader:
             base_size = img.size
             spacing = self.default_spacing_um
             try:
-                xres = img.tag_v2.get(282)  # XResolution
-                unit = img.tag_v2.get(296, 2)  # 2=inch, 3=cm
+                xres = img.tag_v2.get(282)  # XResolution (IFDRational or
+                unit = img.tag_v2.get(296, 2)  # (num, den)); 2=inch, 3=cm
                 if xres:
-                    per_unit = float(xres[0]) if not hasattr(xres, "__len__") \
-                        else float(xres)
+                    per_unit = (
+                        float(xres[0]) / float(xres[1])
+                        if isinstance(xres, tuple) else float(xres)
+                    )
                     um = {2: 25_400.0, 3: 10_000.0}.get(int(unit), 10_000.0)
                     if per_unit > 0:
                         spacing = um / per_unit
@@ -103,9 +105,51 @@ class PILMaskReader:
         return MaskLevel(arr.astype(np.uint8), float(down), spacing)
 
 
+class NativeMaskReader:
+    """Multi-page TIFF mask via the native libtiff reader — the ASAP
+    `MultiResolutionImageReader` counterpart (reference froc.py:93-106):
+    downsample = getLevelDownsample (width ratio of the ACTUAL pages, so
+    non-ideal pyramid ratios are honored), spacing = getSpacing()[0]
+    (level-0 resolution tags; per-page tags are read per page)."""
+
+    def __init__(self, path: str, default_spacing_um: float = 0.243):
+        from snuffy_tpu.native import NativeSlide
+
+        self._slide = NativeSlide(path)
+        self.default_spacing_um = default_spacing_um
+
+    def read(self, level: int) -> MaskLevel:
+        s = self._slide
+        n_levels = s.level_count
+        if level < n_levels:
+            w, h = s.level_dimensions(level)
+            arr = s.read_label_region(level, 0, 0, w, h)
+            down = s.level_downsample(level)
+        else:
+            # Synthesize from the deepest page by strided subsampling,
+            # preserving that page's true downsample.
+            w, h = s.level_dimensions(n_levels - 1)
+            arr = s.read_label_region(n_levels - 1, 0, 0, w, h)
+            extra = 2 ** (level - (n_levels - 1))
+            arr = arr[::extra, ::extra]
+            down = s.level_downsample(n_levels - 1) * extra
+        spacing = s.spacing_um or self.default_spacing_um
+        return MaskLevel(arr.astype(np.uint8), float(down), float(spacing))
+
+    def close(self):
+        self._slide.close()
+
+
 def open_mask(path_or_reader) -> "MaskReader":
     if hasattr(path_or_reader, "read"):
         return path_or_reader
+    from snuffy_tpu import native
+
+    if native.available():
+        try:
+            return NativeMaskReader(path_or_reader)
+        except Exception:
+            pass
     return PILMaskReader(path_or_reader)
 
 

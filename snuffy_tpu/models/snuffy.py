@@ -140,10 +140,11 @@ class MultiHeadedAttention(nn.Module):
                 out = fused_inverted_sparse_attention(
                     q, k, v, slot_valid, q_valid,
                     dropout_rate=rate, dropout_seed=seed,
+                    tile_n=cfg.pallas_tile_n,
                 )
             else:
                 out = fused_inverted_sparse_attention(
-                    q, k, v, slot_valid, q_valid
+                    q, k, v, slot_valid, q_valid, tile_n=cfg.pallas_tile_n
                 )
             p_attn = None
         else:

@@ -42,21 +42,24 @@ class Adapter(nn.Module):
     scale: float = 0.1               # ignored if learnable_scale
     learnable_scale: bool = False
     layernorm_option: str = "none"   # 'in' | 'out' | 'none'
+    dtype: object = None             # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = x
         ln = None
         if self.layernorm_option in ("in", "out"):
-            ln = nn.LayerNorm(name="ln")
+            ln = nn.LayerNorm(dtype=self.dtype, name="ln")
         if self.layernorm_option == "in":
             h = ln(h)
         h = nn.Dense(self.bottleneck, kernel_init=lora_down_init,
-                     bias_init=nn.initializers.zeros, name="down")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="down")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros, name="up")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="up")(h)
         if self.learnable_scale:
             s = self.param("scale", nn.initializers.ones, (1,))
             h = h * s
@@ -75,13 +78,15 @@ class MHSA(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, n, c = x.shape
         h = self.num_heads
         dk = c // h
-        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, dk).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -91,7 +96,7 @@ class MHSA(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out, attn
 
@@ -100,13 +105,14 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -137,12 +143,14 @@ class Block(nn.Module):
     adapter_scale: float = 0.1
     adapter_learnable_scale: bool = False
     adapter_layernorm_option: str = "none"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
         y, attn = MHSA(self.dim, self.num_heads, self.qkv_bias,
-                       self.attn_drop, self.drop, name="attn")(
-            nn.LayerNorm(name="norm1")(x), deterministic
+                       self.attn_drop, self.drop, dtype=self.dtype,
+                       name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic
         )
         if return_attention:
             return attn
@@ -162,10 +170,12 @@ class Block(nn.Module):
                 scale=self.adapter_scale,
                 learnable_scale=self.adapter_learnable_scale,
                 layernorm_option=self.adapter_layernorm_option,
+                dtype=self.dtype,
                 name="adaptmlp",
             )(x, deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                name="mlp")(nn.LayerNorm(name="norm2")(x), deterministic)
+                dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
         dp_rng2 = (
             self.make_rng("droppath")
             if (not deterministic and self.drop_path_rate > 0)
@@ -177,6 +187,7 @@ class Block(nn.Module):
 class PatchEmbed(nn.Module):
     patch_size: int = 16
     embed_dim: int = 768
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C) → (B, N, D)
@@ -185,6 +196,7 @@ class PatchEmbed(nn.Module):
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
+            dtype=self.dtype,
             name="proj",
         )(x)
         b, h, w, d = x.shape
@@ -230,11 +242,17 @@ class VisionTransformer(nn.Module):
     adapter_learnable_scale: bool = False
     adapter_layernorm_option: str = "none"
     output: str = "cls"
+    # 'bfloat16' runs every matmul/LayerNorm in bf16 on the MXU (params and
+    # the pos-embed interpolation stay f32); 'float32' is the torch-parity
+    # default.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         b, h_img, w_img, _ = x.shape
-        x = PatchEmbed(self.patch_size, self.embed_dim, name="patch_embed")(x)
+        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=cdt,
+                       name="patch_embed")(x)
         n = x.shape[1]
         cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),
@@ -245,8 +263,10 @@ class VisionTransformer(nn.Module):
             (1, 1 + (224 // self.patch_size) ** 2, self.embed_dim),
         )
         pe = interpolate_pos_encoding(pos_embed, n, w_img, h_img, self.patch_size)
-        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), x],
-                            axis=1) + pe
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)).astype(x.dtype), x],
+            axis=1,
+        ) + pe.astype(x.dtype)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
@@ -256,9 +276,12 @@ class VisionTransformer(nn.Module):
                 self.drop_rate, self.attn_drop_rate, float(dpr[i]),
                 self.use_adapter, self.adapter_bottleneck, self.adapter_scale,
                 self.adapter_learnable_scale, self.adapter_layernorm_option,
+                dtype=cdt,
                 name=f"blocks_{i}",
             )(x, deterministic)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(dtype=cdt, name="norm")(x)
+        if cdt is not None:
+            x = x.astype(jnp.float32)  # embeddings leave the model in f32
         if self.output == "cls":
             return x[:, 0]
         if self.output == "mean":

@@ -89,6 +89,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.tiff_write_tiled_gray.restype = ctypes.c_int
+    lib.tiff_write_tiled_gray.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_int, ctypes.c_double,
+    ]
+    lib.slide_page_spacing_um.restype = ctypes.c_double
+    lib.slide_page_spacing_um.argtypes = [ctypes.c_void_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -154,6 +162,10 @@ class NativeSlide:
             raise IOError(f"slide_read_label_region failed rc={rc}")
         return out
 
+    def page_spacing_um(self, level: int) -> float:
+        """µm/px from THAT page's resolution tags (0 when absent)."""
+        return float(self._lib.slide_page_spacing_um(self._h, level))
+
     def close(self):
         if self._h:
             self._lib.slide_close(self._h)
@@ -198,6 +210,34 @@ def parse_bag_csv_fast(path: str, max_rows: int = 65536,
     if rows < 0:
         return None
     return out[:rows, : n_cols.value].copy()
+
+
+def write_tiled_tiff_gray(path: str, levels, tile: int = 64,
+                          spacing_um: float = 0.0) -> None:
+    """Write a multi-page single-channel label TIFF from (H, W) uint8 arrays
+    (level 0 first) — a realistic stand-in for CAMELYON16 mask TIFs:
+    lossless, tiled, with per-page resolution tags derived from
+    spacing_um × (that page's actual downsample ratio)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    w0 = None
+    for i, arr in enumerate(levels):
+        arr = np.ascontiguousarray(arr, np.uint8)
+        if arr.ndim != 2:
+            raise ValueError("gray levels must be (H, W)")
+        if w0 is None:
+            w0 = arr.shape[1]
+        res_per_cm = 0.0
+        if spacing_um > 0:
+            page_spacing = spacing_um * (w0 / arr.shape[1])
+            res_per_cm = 10_000.0 / page_spacing  # px per cm
+        rc = lib.tiff_write_tiled_gray(
+            path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arr.shape[1], arr.shape[0], tile, 1 if i else 0, res_per_cm,
+        )
+        if rc != 0:
+            raise IOError(f"tiff_write_tiled_gray failed rc={rc}")
 
 
 def write_tiled_tiff(path: str, levels, tile: int = 256,

@@ -34,6 +34,7 @@ import numpy as np
 import optax
 
 from snuffy_tpu.models.vit import DINOHead, VisionTransformer
+from snuffy_tpu.ssl.lars import lars
 
 
 class DINOState(NamedTuple):
@@ -112,7 +113,13 @@ class DINOTrainer:
         norm_last_layer: bool = True,
         head_hidden_dim: int = 2048,
         head_bottleneck_dim: int = 256,
+        optimizer: str = "adamw",
     ):
+        if optimizer not in ("adamw", "sgd", "lars"):
+            raise KeyError(
+                f"Optimizer not found. Given: {optimizer}, "
+                "Have: ['adamw', 'sgd', 'lars']"
+            )
         self.backbone = backbone
         self.head = DINOHead(
             out_dim=out_dim,
@@ -132,6 +139,7 @@ class DINOTrainer:
         self.warmup_teacher_temp = warmup_teacher_temp
         self.teacher_temp = teacher_temp
         self.warmup_teacher_temp_epochs = warmup_teacher_temp_epochs
+        self.optimizer = optimizer
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
 
@@ -154,8 +162,18 @@ class DINOTrainer:
         head = self.head.init(k2, cls)["params"]
         student = {"backbone": bb, "head": head}
         teacher = jax.tree_util.tree_map(jnp.copy, student)
+        # Optimizer choice matches the reference's surface (reference
+        # dino_adapter/main_dino_adapter.py:352-359): adamw for ViTs,
+        # sgd (momentum 0.9) / LARS (utils.py:565-605) for convnets/large
+        # batches. Scheduled weight decay is applied inside the step: adamw
+        # decoupled, sgd/lars folded into the gradient pre-momentum.
+        inner = {
+            "adamw": optax.scale_by_adam(),
+            "sgd": optax.trace(decay=0.9),
+            "lars": lars(momentum=0.9, weight_decay=0.0),
+        }[self.optimizer]
         self.tx = optax.masked(
-            optax.chain(optax.scale_by_adam(), optax.scale(-1.0)),
+            optax.chain(inner, optax.scale(-1.0)),
             trainable_mask(student, self.freeze_backbone),
         )
         opt_state = self.tx.init(student)
@@ -246,7 +264,7 @@ class DINOTrainer:
                 loss_fn, has_aux=True
             )(state.student)
 
-            if self.clip_grad is not None:
+            if self.clip_grad:  # 0 disables clipping (reference flag help)
                 grads = clip_gradients_per_param(grads, self.clip_grad)
             # cancel last-layer grads while cancel_last (traced 0/1 scalar)
             grads = jax.tree_util.tree_map_with_path(
@@ -266,6 +284,16 @@ class DINOTrainer:
                 grads,
             )
 
+            if self.optimizer in ("sgd", "lars"):
+                # torch folds L2 decay into the gradient before the momentum
+                # buffer (SGD) / trust ratio (LARS utils.py:586-588); only
+                # multi-dim params are regularized (get_params_groups,
+                # utils.py:648-659 + the LARS ndim!=1 filter).
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: g + wd * p if p.ndim > 1 else g,
+                    grads, state.student,
+                )
+
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.student)
             mask = trainable_mask(state.student, self.freeze_backbone)
@@ -274,9 +302,11 @@ class DINOTrainer:
                 names = [str(pp.key if hasattr(pp, "key") else pp)
                          for pp in path]
                 new = p + lr * u  # updates already carry −1 scale
-                # Decoupled decay skips biases/norm scales (DINO
-                # get_params_groups, reference dino_adapter/utils.py:648-659).
-                if names[-1] not in ("bias", "scale"):
+                # AdamW decoupled decay skips biases/norm scales (DINO
+                # get_params_groups, reference dino_adapter/utils.py:648-659);
+                # sgd/lars already folded wd into the gradient above.
+                if self.optimizer == "adamw" and names[-1] not in ("bias",
+                                                                   "scale"):
                     new = new - lr * wd * p
                 if any("last_layer" in n for n in names):
                     # Cancelled last layer is skipped entirely — torch sets

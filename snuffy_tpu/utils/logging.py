@@ -33,6 +33,42 @@ def to_wandb_format(d: dict) -> dict:
     return out
 
 
+def truncate_log_past_epoch(path: str, resume_epoch: int,
+                            epoch_key: str = "epoch") -> int:
+    """On resume, drop JSONL rows from epochs ≥ resume_epoch so the metric
+    stream holds each epoch exactly once — the JSONL equivalent of the
+    reference's wandb-history replay, which re-logs history for epochs
+    before the resume point and discards everything after it (reference
+    dino_adapter/main_dino_adapter.py:383-446,
+    mae_adapter/main_pretrain_adapter.py:223-276).
+
+    Rows without `epoch_key` (or unparsable lines) are kept. Returns the
+    number of rows dropped."""
+    if not os.path.exists(path):
+        return 0
+    kept, dropped = [], 0
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                row = json.loads(line)
+                if isinstance(row, dict) and epoch_key in row and (
+                    int(row[epoch_key]) >= resume_epoch
+                ):
+                    dropped += 1
+                    continue
+            except (ValueError, TypeError):
+                pass
+            kept.append(line if line.endswith("\n") else line + "\n")
+    if dropped:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+        os.replace(tmp, path)
+    return dropped
+
+
 class MetricsLogger:
     """JSONL metrics sink with optional wandb mirroring."""
 

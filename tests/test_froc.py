@@ -147,3 +147,69 @@ def test_froc_cli_end_to_end(tmp_path):
     assert 0.0 < score <= 1.0
     assert (tmp_path / "froc.csv").exists()
     assert (tmp_path / "froc.png").exists()
+
+
+def _pyramid_levels(seed=0):
+    """Realistic mask pyramid: odd level-0 dims (non-ideal ratios), a tumor
+    region plus an ITC, floor-divided downsamples like real scanner files."""
+    arr0 = np.zeros((3999, 3001), np.uint8)
+    arr0[300:1000, 400:1100] = 2     # tumor
+    arr0[2400:2410, 2200:2210] = 2   # ITC at level 5 scale
+    levels = [arr0]
+    for _ in range(6):
+        levels.append(levels[-1][::2, ::2].copy())
+    return levels
+
+
+@pytest.mark.parametrize("reader_cls", ["native", "pil"])
+def test_froc_through_file_based_readers(tmp_path, reader_cls):
+    """FROC parity through a realistic multi-page mask TIF (per-page
+    resolution tags, non-power-of-2 ratios) written by the native tiled-TIFF
+    writer — the file path must reproduce the ArrayMaskReader result
+    (reference froc.py:93-106 reads geometry from the file)."""
+    from snuffy_tpu import native
+    from snuffy_tpu.eval.froc import NativeMaskReader, PILMaskReader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    spacing = 0.243 * 32  # large spacing: keeps the dilation local at lvl 5
+    levels = _pyramid_levels()
+    path = str(tmp_path / "tumor_realistic.tif")
+    native.write_tiled_tiff_gray(path, levels, tile=64, spacing_um=spacing)
+
+    level = 5
+    w0, wl = levels[0].shape[1], levels[level].shape[1]
+    oracle = ArrayMaskReader(
+        {level: MaskLevel(levels[level], w0 / wl, spacing)}
+    )
+
+    reader = (NativeMaskReader(path) if reader_cls == "native"
+              else PILMaskReader(path, default_spacing_um=-1.0))
+
+    got = reader.read(level)
+    want = oracle.read(level)
+    np.testing.assert_array_equal(got.array, want.array)
+    assert got.downsample == pytest.approx(want.downsample)
+    assert got.spacing_um == pytest.approx(want.spacing_um, rel=1e-5)
+
+    ev_f, itc_f = compute_evaluation_mask(reader, level, include_itcs=False)
+    ev_a, itc_a = compute_evaluation_mask(oracle, level, include_itcs=False)
+    np.testing.assert_array_equal(ev_f, ev_a)
+    assert itc_f == itc_a
+    assert itc_a, "fixture should produce at least one ITC region"
+
+    down = got.downsample
+    detections = {
+        "tumor_r": [(0.9, 25 * down, 20 * down),   # inside tumor
+                    (0.4, 85 * down, 80 * down)],  # background FP
+    }
+    types = {"tumor_r": "tumor"}
+    s_file, fp_file, sens_file = froc_for_slides(
+        detections, lambda s: reader, types, evaluation_mask_level=level
+    )
+    s_arr, fp_arr, sens_arr = froc_for_slides(
+        detections, lambda s: oracle, types, evaluation_mask_level=level
+    )
+    assert s_file == pytest.approx(s_arr)
+    assert fp_file == fp_arr and sens_file == sens_arr

@@ -692,3 +692,102 @@ def test_froc_math_parity_with_reference():
     assert mine.compute_score(avg_m, sens_m) == pytest.approx(
         ref_froc.compute_score(avg_r, sens_r)
     )
+
+
+@pytest.fixture(scope="module")
+def ref_dino_head():
+    """Reference DINOHead (dino_adapter/vision_transformer_with_adapter.py)
+    with its `utils`/`adapter` imports stubbed (they pull yaml/wandb)."""
+    import importlib.util
+    import types
+
+    stub_utils = types.ModuleType("utils")
+    stub_utils.trunc_normal_ = torch.nn.init.trunc_normal_
+    stub_adapter = types.ModuleType("adapter")
+    stub_adapter.Adapter = type("Adapter", (), {})
+    saved = {k: sys.modules.get(k) for k in ("utils", "adapter")}
+    sys.modules["utils"] = stub_utils
+    sys.modules["adapter"] = stub_adapter
+    spec = importlib.util.spec_from_file_location(
+        "vits_dino_adapter_head",
+        os.path.join(REF, "dino_adapter", "vision_transformer_with_adapter.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    yield mod
+    for k, v in saved.items():
+        if v is not None:
+            sys.modules[k] = v
+        else:
+            sys.modules.pop(k, None)
+
+
+def test_dino_head_weight_norm_import_parity(ref_dino_head, tmp_path):
+    """Round-trip: reference DINOHead weights (weight_g/weight_v) through a
+    reference-format full checkpoint → flax DINOHead; forward outputs match
+    (reference main_dino_adapter.py:239-311 load semantics)."""
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed import torch_import as ti
+    from snuffy_tpu.models.vit import DINOHead
+
+    torch.manual_seed(3)
+    in_dim, out_dim, hid, bot = 24, 40, 32, 16
+    ref_head = ref_dino_head.DINOHead(
+        in_dim, out_dim, norm_last_layer=False, hidden_dim=hid,
+        bottleneck_dim=bot,
+    )
+    ckpt = {
+        "student": {f"module.head.{k}": v
+                    for k, v in ref_head.state_dict().items()},
+        "teacher": {f"head.{k}": v for k, v in ref_head.state_dict().items()},
+        "epoch": 3,
+    }
+    path = tmp_path / "full_ckpt.pth"
+    torch.save(ckpt, path)
+
+    import jax
+
+    head = DINOHead(out_dim=out_dim, hidden_dim=hid, bottleneck_dim=bot,
+                    norm_last_layer=False)
+    template = head.init(jax.random.PRNGKey(0), jnp.zeros((1, in_dim)))[
+        "params"]
+
+    parts = ti.load_torch_full_checkpoint(str(path))
+    loaded = ti.import_dino_student_teacher(
+        parts, {"head": template}, {"head": template}
+    )
+
+    x = np.random.default_rng(0).standard_normal((5, in_dim)).astype(
+        np.float32)
+    ref_out = ref_head(torch.from_numpy(x)).detach().numpy()
+    for part in ("student", "teacher"):
+        out = head.apply({"params": loaded[part]["head"]}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   rtol=1e-4, atol=1e-5)
+
+    # Shape filtering: a larger out_dim model must keep its init head.
+    big = DINOHead(out_dim=out_dim * 2, hidden_dim=hid, bottleneck_dim=bot,
+                   norm_last_layer=False)
+    big_t = big.init(jax.random.PRNGKey(1), jnp.zeros((1, in_dim)))["params"]
+    loaded_big = ti.import_dino_student_teacher(
+        parts, {"head": big_t}, {"head": big_t}
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded_big["student"]["head"]["last_layer_v"]),
+        np.asarray(big_t["last_layer_v"]),
+    )
+    # mlp_0 shapes agree (in_dim × hid) so that one IS imported.
+    np.testing.assert_allclose(
+        np.asarray(loaded_big["student"]["head"]["mlp_0"]["kernel"]),
+        ref_head.state_dict()["mlp.0.weight"].numpy().T,
+    )
+
+    # random_head drops everything.
+    loaded_rand = ti.import_dino_student_teacher(
+        parts, {"head": template}, {"head": template}, random_head=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded_rand["student"]["head"]["mlp_0"]["kernel"]),
+        np.asarray(template["mlp_0"]["kernel"]),
+    )

@@ -84,6 +84,43 @@ def test_dino_step_freeze_and_ema():
     assert not np.allclose(np.asarray(state2.center), 0.0)
 
 
+@pytest.mark.parametrize("opt", ["sgd", "lars"])
+def test_dino_optimizer_choices(opt):
+    """The reference's non-default optimizers (main_dino_adapter.py:352-359)
+    run a real step: finite loss, trainable params move, frozen stay put."""
+    trainer = DINOTrainer(
+        tiny_backbone(), out_dim=32, n_local_crops=2,
+        local_size=16, global_size=32, freeze_backbone=True,
+        head_hidden_dim=32, head_bottleneck_dim=16, optimizer=opt,
+    )
+    state = trainer.init_state(0)
+    step = trainer.get_step()
+    rng = np.random.default_rng(1)
+    globals_ = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 3)), jnp.float32)
+    locals_ = jnp.asarray(rng.normal(size=(2, 2, 16, 16, 3)), jnp.float32)
+
+    before = _flat(state.student)
+    state2, loss = step(
+        state, globals_, locals_,
+        jnp.asarray(1e-2), jnp.asarray(0.04), jnp.asarray(0.99),
+        jnp.asarray(0.04), jnp.asarray(False), jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(loss))
+    after = _flat(state2.student)
+    moved = {k: not np.allclose(before[k], after[k]) for k in before}
+    assert any(m for k, m in moved.items() if "adaptmlp" in k)
+    assert any(m for k, m in moved.items() if k.startswith("head/"))
+    assert not any(
+        m for k, m in moved.items()
+        if "adaptmlp" not in k and not k.startswith("head/")
+    )
+
+
+def test_dino_optimizer_unknown_raises():
+    with pytest.raises(KeyError):
+        DINOTrainer(tiny_backbone(), out_dim=8, optimizer="lamb")
+
+
 def test_dino_teacher_temp_warmup():
     trainer = DINOTrainer(
         tiny_backbone(), out_dim=8, warmup_teacher_temp=0.01,
@@ -209,3 +246,29 @@ def test_map_perfect_and_worst():
     positives = [set(range(5)), set(range(5, 10))]
     m = retrieval_map(queries, db, positives)
     assert m > 0.95
+
+
+def test_truncate_log_past_epoch(tmp_path):
+    """Resume dedup: rows from epochs ≥ the resume epoch are dropped, rows
+    without an epoch key and unparsable lines survive."""
+    from snuffy_tpu.utils.logging import truncate_log_past_epoch
+
+    p = tmp_path / "log.txt"
+    rows = [
+        '{"epoch": 0, "train_loss": 1.0}',
+        '{"epoch": 1, "train_loss": 0.9}',
+        '{"note": "no epoch field"}',
+        "not json at all",
+        '{"epoch": 2, "train_loss": 0.8}',
+        '{"epoch": 3, "train_loss": 0.7}',
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    dropped = truncate_log_past_epoch(str(p), resume_epoch=2)
+    assert dropped == 2
+    lines = p.read_text().splitlines()
+    assert len(lines) == 4
+    assert '"epoch": 2' not in p.read_text()
+    assert "not json at all" in lines
+    # idempotent + missing file is a no-op
+    assert truncate_log_past_epoch(str(p), 2) == 0
+    assert truncate_log_past_epoch(str(tmp_path / "none.txt"), 2) == 0

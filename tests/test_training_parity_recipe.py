@@ -1,0 +1,259 @@
+"""Recipe-scale training parity: the ACTUAL Camelyon16 DINO-adapter recipe
+(Λ=500, ρ=0.5, d=384, AdamW lr=0.02 wd=0.05 betas=(0.9,0.999), cosine,
+soft_average=1, encoder_dropout=0.1, relu, pos-weighted BCE — reference
+README.md:630-652 + train.py defaults) on WSI-scale synthetic bags
+(N≈2k-6k), my trainer vs the torch reference loop, ≥20 epochs.
+
+Gated behind RUN_SLOW=1: the torch-CPU reference loop needs ~10+ minutes at
+these shapes. Run with  RUN_SLOW=1 python -m pytest
+tests/test_training_parity_recipe.py -q -s
+"""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference checkout not available"),
+    pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                       reason="recipe-scale parity takes ~20 min (RUN_SLOW=1)"),
+]
+
+
+def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
+                        num_classes=1):
+    """Planted-signal MIL bags at Camelyon16 scale. Positive bags carry a
+    small 'tumor' fraction shifted along class directions; all features are
+    then l2-normalized by the consumer (the recipe sets
+    l2normed_embeddings=1)."""
+    rng = np.random.default_rng(seed)
+    dirs = rng.standard_normal((max(num_classes, 1), d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    labels, feats = [], []
+    for i in range(num_bags):
+        n = int(rng.integers(n_lo, n_hi))
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        if num_classes == 1:
+            y = i % 2
+            if y:
+                k = max(16, n // 50)  # ~2% tumor patches
+                x[:k] += 1.5 * dirs[0]
+            labels.append(float(y))
+        else:
+            y = i % num_classes
+            k = max(16, n // 50)
+            x[:k] += 1.5 * dirs[y]
+            onehot = np.zeros(num_classes, np.float32)
+            onehot[y] = 1.0
+            labels.append(onehot)
+        rng.shuffle(x)
+        feats.append(x)
+    return labels, feats
+
+
+RECIPE = dict(d=384, lam=500, rho=0.5, heads=4, depth=1, lr=2e-2, wd=5e-2,
+              betas=(0.9, 0.999), epochs=20, encoder_dropout=0.1,
+              activation="relu")
+
+
+def _l2norm(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _ref_modules():
+    sys.path.insert(0, REF)
+    import snuffy as ref_snuffy
+    import snuffy_multiclass as ref_mc
+
+    sys.path.remove(REF)
+    return ref_snuffy, ref_mc
+
+
+def _ref_weight_init(milnet):
+    """weight_init__weight_init_i__weight_init_b =
+    ['trunc_normal','xavier_uniform','trunc_normal'] (reference
+    train.py:893-911: >1-dim params of each submodule)."""
+    for name, p in milnet.named_parameters():
+        if p.dim() <= 1:
+            continue
+        if name.split(".")[0] == "i_classifier":
+            torch.nn.init.xavier_uniform_(p)
+        elif name.split(".")[0] == "b_classifier":
+            torch.nn.init.trunc_normal_(p)
+    return milnet
+
+
+def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
+    """The reference hot loop at the recipe point (train.py:249-293 +
+    SmallWeightTrainer semantics: learnable w with clamp, grouped AdamW,
+    per-epoch CosineAnnealingLR, pos-weighted BCE)."""
+    from sklearn.metrics import roc_auc_score
+
+    from snuffy_tpu.train.schedules import cosine_annealing
+
+    ref_snuffy, ref_mc = _ref_modules()
+    mod = ref_mc if multiclass else ref_snuffy
+    r = RECIPE
+    torch.manual_seed(seed)
+    num_classes = len(train_bags[0][0]) if multiclass else 1
+    c = copy.deepcopy
+    attn = mod.MultiHeadedAttention(r["heads"], r["d"])
+    ff = mod.PositionwiseFeedForward(r["d"], r["d"] * 4, r["activation"],
+                                     r["encoder_dropout"])
+    milnet = _ref_weight_init(mod.MILNet(
+        mod.FCLayer(r["d"], num_classes),
+        mod.BClassifier(
+            mod.Encoder(
+                mod.EncoderLayer(r["d"], c(attn), c(ff),
+                                 r["encoder_dropout"], r["lam"], r["rho"]),
+                r["depth"],
+            ),
+            num_classes, r["d"],
+        ),
+    ))
+
+    w = torch.tensor(0.5, requires_grad=True)
+    opt = torch.optim.AdamW(
+        params=[{"params": w, "lr": r["lr"]},
+                {"params": milnet.parameters()}],
+        lr=r["lr"], betas=r["betas"], weight_decay=r["wd"],
+    )
+    labels, feats = train_bags
+    flat = [float(np.clip(np.max(l), 0, 1)) for l in labels]
+    pos = sum(flat)
+    pos_weight = torch.tensor((len(flat) - pos) / pos)
+    crit = torch.nn.BCEWithLogitsLoss(pos_weight)
+    sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
+
+    host = np.random.default_rng(seed)
+    milnet.train()
+    for epoch in range(r["epochs"]):
+        for g in opt.param_groups:
+            g["lr"] = sched(epoch)
+        for i in host.permutation(len(labels)):
+            x = torch.from_numpy(_l2norm(feats[i]))[None]
+            y = torch.tensor(np.atleast_1d(labels[i]),
+                             dtype=torch.float32).view(1, -1)
+            ins, bag_logit, _ = milnet(x)
+            max_logit, _ = torch.max(ins, 1)
+            loss = w * crit(bag_logit.view(1, -1), y) + (1 - w) * crit(
+                max_logit.view(1, -1), y)
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+            w.data.clamp_(0, 1)
+
+    milnet.eval()
+    scores = []
+    with torch.no_grad():
+        for x in test_bags[1]:
+            ins, bag_logit, _ = milnet(torch.from_numpy(_l2norm(x))[None])
+            max_logit, _ = torch.max(ins, 1)
+            s = ((1 - w) * torch.sigmoid(max_logit)
+                 + w * torch.sigmoid(bag_logit)).reshape(-1).numpy()
+            scores.append(s)
+    scores = np.asarray(scores)
+    y_true = np.asarray(test_bags[0])
+    if multiclass:
+        return float(np.mean([
+            roc_auc_score(y_true[:, k], scores[:, k])
+            for k in range(y_true.shape[1])
+        ])), float(w)
+    return roc_auc_score(y_true, scores[:, 0]), float(w)
+
+
+def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
+                      multiclass=False, seed=0):
+    from sklearn.metrics import roc_auc_score
+
+    from snuffy_tpu.configs import (MILTrainConfig, OptimizerConfig,
+                                    SnuffyModelConfig)
+    from snuffy_tpu.train.runner import bucket_bags, compute_pos_weight
+    from snuffy_tpu.train.schedules import cosine_annealing
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    r = RECIPE
+    num_classes = len(train_bags[0][0]) if multiclass else 1
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(
+            feats_size=r["d"], num_classes=num_classes, num_heads=r["heads"],
+            big_lambda=r["lam"], random_patch_share=r["rho"],
+            encoder_dropout=r["encoder_dropout"], activation=r["activation"],
+            depth=r["depth"], multiclass=multiclass,
+            weight_init_i="xavier_uniform", weight_init_b="trunc_normal",
+            use_pallas=False,
+        ),
+        optim=OptimizerConfig(optimizer="adamw", lr=r["lr"],
+                              weight_decay=r["wd"], betas=r["betas"]),
+        soft_average=True,
+        bag_batch_size=bag_batch_size,
+        dataset="camelyon16",
+    )
+    trainer = SnuffyTrainer(cfg)
+    tr_labels = [np.atleast_1d(np.asarray(l, np.float32))
+                 for l in train_bags[0]]
+    trainer.pos_weight = compute_pos_weight(
+        [float(np.clip(np.max(l), 0, 1)) for l in train_bags[0]]
+    )
+    state = trainer.init_state(seed)
+    sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
+    host = np.random.default_rng(seed)
+    tr_feats = [_l2norm(f) for f in train_bags[1]]
+    for epoch in range(r["epochs"]):
+        bucketed = bucket_bags(tr_labels, tr_feats, rng=host)
+        state, *_ = trainer.run_train_epoch(
+            state, bucketed, sched(epoch), host, seed
+        )
+    te_labels = [np.atleast_1d(np.asarray(l, np.float32))
+                 for l in test_bags[0]]
+    bucketed = bucket_bags(te_labels, [_l2norm(f) for f in test_bags[1]],
+                           rng=host)
+    _, scores, _, order = trainer.run_eval_epoch(state, bucketed, seed)
+    y_true = np.asarray(test_bags[0])[order]
+    if multiclass:
+        return float(np.mean([
+            roc_auc_score(y_true[:, k], scores[:, k])
+            for k in range(y_true.shape[1])
+        ])), float(state.w)
+    return roc_auc_score(y_true, scores[:, 0]), float(state.w)
+
+
+def test_recipe_scale_binary_parity():
+    all_labels, all_feats = make_wsi_scale_bags(11, 28)
+    train_bags = (all_labels[:12], all_feats[:12])
+    test_bags = (all_labels[12:], all_feats[12:])
+
+    auc_ref, w_ref = train_reference_recipe(train_bags, test_bags)
+    auc_serial, w_serial = train_mine_recipe(train_bags, test_bags, 1)
+    auc_batched, _ = train_mine_recipe(train_bags, test_bags, 4)
+    print(f"\nrecipe parity: ref {auc_ref:.3f} (w={w_ref:.3f}) vs "
+          f"serial {auc_serial:.3f} (w={w_serial:.3f}) / "
+          f"batched {auc_batched:.3f}")
+    assert auc_ref > 0.8, f"reference failed to learn ({auc_ref:.3f})"
+    assert auc_serial > 0.8
+    assert auc_batched > 0.8
+    assert abs(auc_ref - auc_serial) < 0.1
+    assert abs(auc_ref - auc_batched) < 0.15  # batched relaxes serial SGD
+
+
+def test_recipe_scale_multiclass_parity():
+    all_labels, all_feats = make_wsi_scale_bags(
+        13, 24, n_lo=1024, n_hi=3000, num_classes=2)
+    train_bags = (all_labels[:12], all_feats[:12])
+    test_bags = (all_labels[12:], all_feats[12:])
+
+    auc_ref, _ = train_reference_recipe(train_bags, test_bags,
+                                        multiclass=True)
+    auc_mine, _ = train_mine_recipe(train_bags, test_bags, 1,
+                                    multiclass=True)
+    print(f"\nmulticlass recipe parity: ref {auc_ref:.3f} vs "
+          f"mine {auc_mine:.3f}")
+    assert auc_ref > 0.8, f"reference failed to learn ({auc_ref:.3f})"
+    assert auc_mine > 0.8
+    assert abs(auc_ref - auc_mine) < 0.12
