@@ -100,7 +100,7 @@ def bench_mil_train():
     per_layer = 20 * n * d * d + 4 * s * d * d + 4 * n * s * d
     fwd = cfg.model.depth * per_layer + 2 * n * d * c
     train_flops = 3 * fwd
-    v5e_bf16_peak = 394e12
+    v5e_bf16_peak = 197e12  # v5e: 394 TOPS int8, 197 TFLOP/s bf16
     mfu = bags_per_sec * train_flops / v5e_bf16_peak
     return bags_per_sec, train_flops, mfu
 

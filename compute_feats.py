@@ -42,6 +42,10 @@ def get_args_parser():
     parser.add_argument("--drop_path_rate", default=0.0, type=float)
     parser.add_argument("--patch_size", default=16, type=int)
     parser.add_argument("--use_adapter", default=False, action="store_true")
+    parser.add_argument("--compute_dtype", default="bfloat16", type=str,
+                        choices=["float32", "bfloat16"],
+                        help="ViT matmul dtype on device; bf16 is the "
+                             "TPU-native fast path (embeddings emit f32)")
     parser.add_argument("--transform", default=0, type=int,
                         help="1 → ImageNet normalization")
     parser.add_argument("--droped", default=0, type=int)
@@ -72,6 +76,7 @@ def build_and_load_embedder(args):
         adapter_ffn_num=args.ffn_num,
         adapter_ffn_scalar=args.adapter_ffn_scalar,
         norm_layer=args.norm_layer,
+        compute_dtype=args.compute_dtype,
     )
     if args.weights:
         sd = ti.load_torch_state_dict(args.weights)

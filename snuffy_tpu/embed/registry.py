@@ -93,9 +93,12 @@ def build_embedder(
     norm_layer: str = "instance",
     img_size: int = 224,
     seed: int = 0,
+    compute_dtype: str = "float32",
 ) -> Embedder:
     """Build the embedder model and init params (to be overlaid by a
-    checkpoint import)."""
+    checkpoint import). compute_dtype='bfloat16' runs the ViT matmuls in
+    bf16 on the MXU (params and emitted embeddings stay float32) — the
+    TPU-native fast path for feature extraction."""
     adapter_kw = dict(
         use_adapter=use_adapter,
         adapter_bottleneck=adapter_ffn_num,
@@ -111,7 +114,8 @@ def build_embedder(
         dim = 512
     elif embedder.upper() == "DINO":
         factory = {"vit_small": vit_small, "vit_base": vit_base}[backbone]
-        model = factory(patch_size=patch_size, output="cls", **adapter_kw)
+        model = factory(patch_size=patch_size, output="cls",
+                        compute_dtype=compute_dtype, **adapter_kw)
         params = model.init(key, dummy)["params"]
         apply = lambda p, im: model.apply({"params": p}, im, True)
         dim = model.embed_dim

@@ -69,14 +69,19 @@ def compute_accuracy(
     return float(score / len(labels))
 
 
-def compute_pos_weight(labels) -> float:
-    """BCE positive-class weight for unbalanced MIL datasets
-    (reference utils.py:499-507)."""
-    pos_count = 0.0
+def compute_pos_weight(labels):
+    """BCE positive-class weight for unbalanced MIL datasets (reference
+    utils.py:499-507). The reference accumulates `np.clip(label, 0, 1)`
+    ELEMENTWISE, so one-hot multiclass labels yield a per-class weight
+    vector (e.g. TCGA: every bag positive for one class → weight 1.0 per
+    class, NOT the degenerate scalar 0 a flat sum would give). Scalar
+    binary labels yield a scalar."""
+    pos_count = None
     for label in labels:
-        pos_count += float(np.clip(label, 0, 1).sum() if np.ndim(label) else label)
-    n = len(labels)
-    return (n - pos_count) / pos_count
+        arr = np.clip(np.asarray(label, np.float64), 0, 1)
+        pos_count = arr if pos_count is None else pos_count + arr
+    out = (len(labels) - pos_count) / pos_count
+    return float(out) if np.ndim(out) == 0 else out.astype(np.float32)
 
 
 def ece_loss(

@@ -211,7 +211,9 @@ class EncoderLayer(nn.Module):
         # (reference snuffy.py:131,145 + SublayerConnection snuffy.py:102-108).
         sel_tokens = jnp.take(x, sel.indices, axis=0)
 
-        normed = nn.LayerNorm(name="ln_attn")(x)
+        normed = nn.LayerNorm(dtype=compute_dtype_of(cfg)
+                              if cfg.compute_dtype == "bfloat16" else None,
+                              name="ln_attn")(x)
         attn_out, p_attn = MultiHeadedAttention(cfg, name="attn")(
             normed, sel_tokens, normed, sel.slot_valid, mask, deterministic
         )
@@ -226,7 +228,10 @@ class EncoderLayer(nn.Module):
         y = x.at[scatter_idx].set(new_sel, mode="drop")
 
         ff = PositionwiseFeedForward(cfg, self.ffn_dropout, name="ff")(
-            nn.LayerNorm(name="ln_ff")(y), deterministic
+            nn.LayerNorm(dtype=compute_dtype_of(cfg)
+                         if cfg.compute_dtype == "bfloat16" else None,
+                         name="ln_ff")(y),
+            deterministic,
         )
         ff = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(ff)
         return y + ff, p_attn
@@ -252,7 +257,9 @@ class Encoder(nn.Module):
             x, p_attn = EncoderLayer(
                 cfg, self.ffn_dropout, name=f"layer_{i}"
             )(x, prep, mask, deterministic)
-        return nn.LayerNorm(name="ln_final")(x), p_attn
+        return nn.LayerNorm(dtype=compute_dtype_of(cfg)
+                            if cfg.compute_dtype == "bfloat16" else None,
+                            name="ln_final")(x), p_attn
 
 
 class BClassifier(nn.Module):
@@ -266,8 +273,10 @@ class BClassifier(nn.Module):
         enc, p_attn = Encoder(self.cfg, self.ffn_dropout, name="encoder")(
             x, c, mask, deterministic
         )
-        denom = jnp.maximum(jnp.sum(mask), 1).astype(enc.dtype)
-        pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0) / denom
+        # masked mean accumulates in f32 regardless of the stream dtype
+        denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+        pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0,
+                         dtype=jnp.float32) / denom
         bag_logits = _dense(self.cfg.num_classes, self.cfg.weight_init_b, "linear")(
             pooled
         )
@@ -305,6 +314,12 @@ class MILNet(nn.Module):
         _, ins_logits = FCLayer(
             self.cfg.num_classes, self.cfg.weight_init_i, name="i_classifier"
         )(feats)
+        if self.cfg.compute_dtype == "bfloat16":
+            # bf16 residual stream through the encoder: halves LayerNorm/
+            # scatter/residual HBM traffic. Instance logits (selection +
+            # instance metrics) are computed above from f32 feats; pooling
+            # accumulates f32 and the bag head promotes back to f32.
+            feats = feats.astype(jnp.bfloat16)
         bag_logits, p_attn = BClassifier(
             self.cfg, self._ffn_dropout(), name="b_classifier"
         )(feats, ins_logits, mask, deterministic)

@@ -38,6 +38,20 @@ class Selection(NamedTuple):
     slot_valid: jnp.ndarray
 
 
+def _padded_top_k(guarded: jnp.ndarray, k: int) -> Selection:
+    """top_k clamped to the array length; surplus slots (bucket shorter than
+    k — the reference's dynamic `min(k, n)` sizing, snuffy.py:136-143) come
+    back as invalid so the static slot count S stays shape-stable."""
+    k_eff = min(k, guarded.shape[0])
+    vals, idx = jax.lax.top_k(guarded, k_eff)
+    idx = idx.astype(jnp.int32)
+    valid = jnp.isfinite(vals)
+    if k_eff < k:
+        idx = jnp.pad(idx, (0, k - k_eff))
+        valid = jnp.pad(valid, (0, k - k_eff))
+    return Selection(idx, valid)
+
+
 def top_share_selection(scores: jnp.ndarray, valid: jnp.ndarray, k: int) -> Selection:
     """Top-k token positions by score among valid tokens.
 
@@ -46,8 +60,7 @@ def top_share_selection(scores: jnp.ndarray, valid: jnp.ndarray, k: int) -> Sele
     lowest index, as torch.sort(descending=True, stable) does.
     """
     guarded = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
-    vals, idx = jax.lax.top_k(guarded, k)
-    return Selection(idx.astype(jnp.int32), jnp.isfinite(vals))
+    return _padded_top_k(guarded, k)
 
 
 def gumbel_without_replacement(
@@ -62,8 +75,7 @@ def gumbel_without_replacement(
     """
     g = jax.random.gumbel(key, allowed.shape, dtype=jnp.float32)
     guarded = jnp.where(allowed, g, -jnp.inf)
-    vals, idx = jax.lax.top_k(guarded, k)
-    return Selection(idx.astype(jnp.int32), jnp.isfinite(vals))
+    return _padded_top_k(guarded, k)
 
 
 class PreparedSelection(NamedTuple):

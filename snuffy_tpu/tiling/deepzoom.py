@@ -116,15 +116,17 @@ def _grid(slide, level: int, residual: float, tile: int):
 _worker_state: dict = {}
 
 
-def _init_worker(slide_path):
+def _init_worker(slide_path, mask_info=None):
     from snuffy_tpu.native import NativeSlide
 
     _worker_state["slide"] = NativeSlide(slide_path)
+    _worker_state["mask_info"] = mask_info
 
 
 def _tile_one(args):
-    (col, row, level, read, tile, out_path, threshold, mask_info,
+    (col, row, level, read, tile, out_path, threshold,
      name_with_level, quality, tumor_coverage, dz_level) = args
+    mask_info = _worker_state.get("mask_info")
     import cv2
 
     from snuffy_tpu.native import jpeg_write
@@ -170,9 +172,13 @@ def tile_slide(
     level, residual = pick_read_level(slide, target_down)
     read, cols, rows = _grid(slide, level, residual, cfg.tile_size)
     level_down = slide.level_downsample(level)
-    # deepzoom level index of the target magnification (for file naming)
-    w0, _ = slide.level_dimensions(0)
-    dz_max = int(np.ceil(np.log2(max(w0, 1))))
+    # deepzoom level index of the target magnification (for file naming):
+    # DeepZoomGenerator counts levels from max(w, h) at level 0 size 1 —
+    # level_count = 1 + ceil(log2(max(w, h))), filename level =
+    # level_count − 1 − log2(downsample) (reference
+    # deepzoom_tiler_camelyon16.py:152,219-224).
+    w0, h0 = slide.level_dimensions(0)
+    dz_max = int(np.ceil(np.log2(max(w0, h0, 1))))
     dz_level = dz_max - int(round(np.log2(max(target_down, 1.0))))
 
     mask_info = None
@@ -184,19 +190,21 @@ def tile_slide(
         mask_info = (mask, mask_down, level_down)
     slide.close()
 
+    # The rasterized annotation mask rides in the worker INITIALIZER, not
+    # the per-tile job tuples — otherwise it is pickled once per tile,
+    # O(tiles × mask_bytes) of IPC.
     jobs = [
         (c, r, level, read, cfg.tile_size, out_dir, cfg.background_threshold,
-         mask_info, cfg.name_with_level, cfg.quality, cfg.tumor_coverage,
-         dz_level)
+         cfg.name_with_level, cfg.quality, cfg.tumor_coverage, dz_level)
         for r in range(rows)
         for c in range(cols)
     ]
     if cfg.workers > 1:
         with mp.Pool(cfg.workers, initializer=_init_worker,
-                     initargs=(slide_path,)) as pool:
+                     initargs=(slide_path, mask_info)) as pool:
             results = pool.map(_tile_one, jobs)
     else:
-        _init_worker(slide_path)
+        _init_worker(slide_path, mask_info)
         results = [_tile_one(j) for j in jobs]
         _worker_state["slide"].close()
         _worker_state.clear()

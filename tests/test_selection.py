@@ -138,3 +138,25 @@ def test_multiclass_selection_matches_reference_rule(n_valid):
     assert len(set(rand.tolist())) == expected_ref_dim
     assert not (set(rand.tolist()) & set(union.tolist()))
     assert (rand < n_valid).all()
+
+
+def test_selection_bucket_smaller_than_lambda():
+    """Λ larger than the whole bucket (e.g. Λ=500 on a 64-token MUSK bag):
+    the reference sizes its shares dynamically (snuffy.py:136-143); the
+    static-shape path must keep S slots and mark the surplus invalid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snuffy_tpu.ops.selection import binary_lambda_selection
+
+    n, k_top, k_rand = 40, 250, 250
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    valid = jnp.asarray(np.arange(n) < 30)
+    sel = binary_lambda_selection(jax.random.PRNGKey(0), logits, valid,
+                                  k_top, k_rand)
+    assert sel.indices.shape == (k_top + k_rand,)
+    assert sel.slot_valid.shape == (k_top + k_rand,)
+    # exactly the 30 valid tokens are selected across both shares, once each
+    chosen = np.asarray(sel.indices)[np.asarray(sel.slot_valid)]
+    assert sorted(chosen.tolist()) == list(range(30))

@@ -123,3 +123,31 @@ def test_camelyon16_tiler_cli(tmp_path, monkeypatch):
     assert (base / "tile_label.csv").exists()
     content = open(base / "tile_label.csv").read()
     assert "tumor_001_1_1,1" in content
+
+
+def test_dz_level_naming_uses_max_dimension(tmp_path):
+    """The `-{level}` filename suffix must follow DeepZoomGenerator's
+    level_count = 1 + ceil(log2(max(w, h))) — for tall slides (h > w) the
+    level is set by the HEIGHT (reference
+    deepzoom_tiler_camelyon16.py:152,219-224)."""
+    from PIL import Image
+
+    from snuffy_tpu.tiling.deepzoom import TilerConfig, tile_slide
+
+    rng = np.random.default_rng(1)
+    w, h = 512, 1400  # tall: ceil(log2(1400)) = 11, ceil(log2(512)) = 9
+    arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    im0 = Image.fromarray(arr)
+    slide_path = str(tmp_path / "tall.tif")
+    im0.save(slide_path, save_all=True,
+             append_images=[im0.resize((w // 2, h // 2))])
+
+    out = str(tmp_path / "tiles")
+    cfg = TilerConfig(tile_size=256, objective_power=40.0, base_mag=20.0,
+                      background_threshold=1.0, workers=0,
+                      name_with_level=True)
+    tile_slide(slide_path, out, cfg)
+    names = os.listdir(out)
+    assert names, "tiler produced no tiles"
+    # target downsample 2 → dz level = ceil(log2(1400)) − 1 = 10
+    assert all(n.endswith("-10.jpeg") for n in names), names[:4]

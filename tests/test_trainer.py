@@ -176,3 +176,24 @@ def test_batched_bags_mode_learns():
     assert summary["history"][-1]["epoch_train_loss"] < summary["history"][0][
         "epoch_train_loss"
     ]
+
+
+def test_compute_pos_weight_matches_reference_elementwise_semantics():
+    """Reference utils.py:499-507 accumulates np.clip(label, 0, 1)
+    ELEMENTWISE: scalar binary labels give a scalar, one-hot multiclass
+    labels give a PER-CLASS vector (a flat sum would collapse TCGA-style
+    'every bag positive for one class' to the degenerate scalar 0)."""
+    from snuffy_tpu.eval.metrics import compute_pos_weight
+
+    # binary scalars: 3 of 8 positive -> (8-3)/3
+    binary = [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]
+    assert np.isclose(compute_pos_weight(binary), 5.0 / 3.0)
+    assert np.ndim(compute_pos_weight(binary)) == 0
+
+    # one-hot multiclass: class 0 positive in 2/6, class 1 in 4/6
+    onehot = [np.array([1.0, 0.0]), np.array([0.0, 1.0]),
+              np.array([0.0, 1.0]), np.array([1.0, 0.0]),
+              np.array([0.0, 1.0]), np.array([0.0, 1.0])]
+    pw = compute_pos_weight(onehot)
+    assert pw.shape == (2,)
+    np.testing.assert_allclose(pw, [(6 - 2) / 2, (6 - 4) / 4])

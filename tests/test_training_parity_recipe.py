@@ -27,33 +27,40 @@ pytestmark = [
 
 
 def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
-                        num_classes=1):
-    """Planted-signal MIL bags at Camelyon16 scale. Positive bags carry a
-    small 'tumor' fraction shifted along class directions; all features are
-    then l2-normalized by the consumer (the recipe sets
-    l2normed_embeddings=1)."""
+                        num_classes=1, n_proto=32, noise=0.3):
+    """Planted-signal MIL bags at Camelyon16 scale with REALISTIC feature
+    geometry: patches are drawn from a small set of unit prototype
+    directions plus noise (real SSL embeddings are low-intrinsic-dimension
+    clusters, not isotropic gaussians — the reference's torch loop NaNs at
+    the recipe lr=0.02 on isotropic features but trains cleanly on
+    clustered ones; verified both ways). Positive bags carry ~4% 'tumor'
+    patches from class prototypes. Consumers l2-normalize
+    (l2normed_embeddings=1)."""
     rng = np.random.default_rng(seed)
-    dirs = rng.standard_normal((max(num_classes, 1), d))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    protos = rng.standard_normal((n_proto, d))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    tumor = rng.standard_normal((max(num_classes, 1), d))
+    tumor /= np.linalg.norm(tumor, axis=1, keepdims=True)
     labels, feats = [], []
     for i in range(num_bags):
         n = int(rng.integers(n_lo, n_hi))
-        x = rng.standard_normal((n, d)).astype(np.float32)
+        which = rng.integers(0, n_proto, n)
+        x = protos[which] + noise * rng.standard_normal((n, d))
         if num_classes == 1:
             y = i % 2
             if y:
-                k = max(16, n // 50)  # ~2% tumor patches
-                x[:k] += 1.5 * dirs[0]
+                k = max(16, n // 25)
+                x[:k] = tumor[0] + noise * rng.standard_normal((k, d))
             labels.append(float(y))
         else:
             y = i % num_classes
-            k = max(16, n // 50)
-            x[:k] += 1.5 * dirs[y]
+            k = max(16, n // 25)
+            x[:k] = tumor[y] + noise * rng.standard_normal((k, d))
             onehot = np.zeros(num_classes, np.float32)
             onehot[y] = 1.0
             labels.append(onehot)
         rng.shuffle(x)
-        feats.append(x)
+        feats.append(x.astype(np.float32))
     return labels, feats
 
 
@@ -104,16 +111,22 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
     num_classes = len(train_bags[0][0]) if multiclass else 1
     c = copy.deepcopy
     attn = mod.MultiHeadedAttention(r["heads"], r["d"])
-    ff = mod.PositionwiseFeedForward(r["d"], r["d"] * 4, r["activation"],
-                                     r["encoder_dropout"])
+    if multiclass:
+        # snuffy_multiclass signatures: FFN has no dropout arg (0.1
+        # default), EncoderLayer takes num_class (reference
+        # train.py:923-948).
+        ff = mod.PositionwiseFeedForward(r["d"], r["d"] * 4, r["activation"])
+        layer = mod.EncoderLayer(r["d"], c(attn), c(ff), num_classes,
+                                 r["encoder_dropout"], r["lam"], r["rho"])
+    else:
+        ff = mod.PositionwiseFeedForward(r["d"], r["d"] * 4, r["activation"],
+                                         r["encoder_dropout"])
+        layer = mod.EncoderLayer(r["d"], c(attn), c(ff),
+                                 r["encoder_dropout"], r["lam"], r["rho"])
     milnet = _ref_weight_init(mod.MILNet(
         mod.FCLayer(r["d"], num_classes),
         mod.BClassifier(
-            mod.Encoder(
-                mod.EncoderLayer(r["d"], c(attn), c(ff),
-                                 r["encoder_dropout"], r["lam"], r["rho"]),
-                r["depth"],
-            ),
+            mod.Encoder(layer, r["depth"]),
             num_classes, r["d"],
         ),
     ))
@@ -125,9 +138,10 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
         lr=r["lr"], betas=r["betas"], weight_decay=r["wd"],
     )
     labels, feats = train_bags
-    flat = [float(np.clip(np.max(l), 0, 1)) for l in labels]
-    pos = sum(flat)
-    pos_weight = torch.tensor((len(flat) - pos) / pos)
+    # reference utils.py:499-507: ELEMENTWISE clip-sum → per-class vector
+    # for one-hot multiclass labels, scalar for binary.
+    pos = sum(np.clip(np.asarray(l, np.float64), 0, 1) for l in labels)
+    pos_weight = torch.tensor((len(labels) - pos) / pos, dtype=torch.float32)
     crit = torch.nn.BCEWithLogitsLoss(pos_weight)
     sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
 
@@ -164,8 +178,8 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
         return float(np.mean([
             roc_auc_score(y_true[:, k], scores[:, k])
             for k in range(y_true.shape[1])
-        ])), float(w)
-    return roc_auc_score(y_true, scores[:, 0]), float(w)
+        ])), float(w.detach())
+    return roc_auc_score(y_true, scores[:, 0]), float(w.detach())
 
 
 def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
@@ -198,9 +212,7 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
     trainer = SnuffyTrainer(cfg)
     tr_labels = [np.atleast_1d(np.asarray(l, np.float32))
                  for l in train_bags[0]]
-    trainer.pos_weight = compute_pos_weight(
-        [float(np.clip(np.max(l), 0, 1)) for l in train_bags[0]]
-    )
+    trainer.pos_weight = compute_pos_weight(train_bags[0])
     state = trainer.init_state(seed)
     sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
     host = np.random.default_rng(seed)
@@ -225,7 +237,7 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
 
 
 def test_recipe_scale_binary_parity():
-    all_labels, all_feats = make_wsi_scale_bags(11, 28)
+    all_labels, all_feats = make_wsi_scale_bags(11, 28, n_lo=1536, n_hi=4096)
     train_bags = (all_labels[:12], all_feats[:12])
     test_bags = (all_labels[12:], all_feats[12:])
 
@@ -244,7 +256,7 @@ def test_recipe_scale_binary_parity():
 
 def test_recipe_scale_multiclass_parity():
     all_labels, all_feats = make_wsi_scale_bags(
-        13, 24, n_lo=1024, n_hi=3000, num_classes=2)
+        13, 24, n_lo=768, n_hi=2048, num_classes=2)
     train_bags = (all_labels[:12], all_feats[:12])
     test_bags = (all_labels[12:], all_feats[12:])
 
