@@ -76,7 +76,7 @@ def build_and_load_embedder(args):
         adapter_ffn_num=args.ffn_num,
         adapter_ffn_scalar=args.adapter_ffn_scalar,
         norm_layer=args.norm_layer,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     if args.weights:
         sd = ti.load_torch_state_dict(args.weights)

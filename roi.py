@@ -63,6 +63,7 @@ def main(argv=None):
         weights=args.embedder_weights, num_classes=args.num_classes,
         patch_size=16, use_adapter=False, ffn_num=64,
         adapter_ffn_scalar=4.0, norm_layer="instance",
+        compute_dtype="float32",
     )
     embedder = cf.build_and_load_embedder(emb_args)
     embed_fn = embedder.jit_apply()

@@ -29,7 +29,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = float("-inf")
+# Large finite negative, not -inf: a row whose key slots are ALL invalid
+# (an all-padded dummy bag in batched mode) must softmax to a finite
+# uniform row, not 0/0=NaN — the NaN would survive the q_valid zeroing
+# (0·NaN=NaN) and poison value-projection grads through the p·cot einsum
+# VJP even though the forward output is dropped. exp(-1e30 − max) is still
+# exactly 0 for every masked slot of a real row.
+NEG_INF = -1e30
 
 
 def inverted_sparse_attention(

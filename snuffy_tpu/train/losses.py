@@ -44,9 +44,11 @@ def masked_instance_max(ins_logits: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
     """max over valid instances, per class: (N, C), (N,) → (C,).
 
     Equivalent of `torch.max(ins_prediction, 0)` (reference train.py:830-833)
-    on the unpadded bag.
+    on the unpadded bag. The guard is a large finite negative, not −inf: an
+    all-padded dummy bag (batched-mode tail padding) would otherwise emit
+    −inf max-logits and a 0·(−inf)=NaN BCE term that poisons the batch mean.
     """
-    guarded = jnp.where(mask[:, None], ins_logits, -jnp.inf)
+    guarded = jnp.where(mask[:, None], ins_logits, jnp.float32(-1e30))
     return jnp.max(guarded, axis=0)
 
 

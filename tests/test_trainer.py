@@ -197,3 +197,60 @@ def test_compute_pos_weight_matches_reference_elementwise_semantics():
     pw = compute_pos_weight(onehot)
     assert pw.shape == (2,)
     np.testing.assert_allclose(pw, [(6 - 2) / 2, (6 - 4) / 4])
+
+
+def test_batched_tail_dummy_bags_keep_state_finite():
+    """A tail batch padded with all-invalid dummy bags must not poison the
+    optimizer state: with -inf masking the dummy bag's attention softmax
+    row was 0/0=NaN, and the NaN leaked into the value-projection grads
+    through the p·cotangent einsum VJP even though the forward output is
+    dropped (found by the recipe-scale parity test; losses.py /
+    sparse_attention.py now mask with a large finite negative)."""
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import (MILTrainConfig, OptimizerConfig,
+                                    SnuffyModelConfig)
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(
+            feats_size=16, num_classes=1, num_heads=2, big_lambda=4,
+            random_patch_share=0.5, depth=1, use_pallas=False,
+        ),
+        optim=OptimizerConfig(optimizer="adamw", lr=1e-2),
+        soft_average=True, bag_batch_size=4, dataset="camelyon16",
+    )
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0)
+
+    rng = np.random.default_rng(0)
+    n_pad, batch = 32, 4
+    feats = np.zeros((batch, n_pad, 16), np.float32)
+    masks = np.zeros((batch, n_pad), bool)
+    labels = np.zeros((batch, 1), np.float32)
+    bag_w = np.zeros((batch,), np.float32)
+    # two real bags, two all-invalid dummies
+    for b in range(2):
+        feats[b] = rng.standard_normal((n_pad, 16))
+        masks[b, : 8 + 4 * b] = True
+        labels[b, 0] = float(b)
+        bag_w[b] = 1.0
+
+    fn = trainer.train_bucket_batched_fn(n_pad, batch)
+    import jax
+
+    state, losses, scores, _ = fn(
+        state, jnp.asarray(feats), jnp.asarray(masks), jnp.asarray(labels),
+        jnp.asarray(bag_w), jnp.asarray(1e-2, jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(losses)[:2]).all()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all(), "NaN leaked into params"
+    # one more step on real bags only must stay finite too
+    state, losses, *_ = fn(
+        state, jnp.asarray(feats), jnp.asarray(masks), jnp.asarray(labels),
+        jnp.asarray(bag_w), jnp.asarray(1e-2, jnp.float32),
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(np.asarray(losses)[:2]).all()
