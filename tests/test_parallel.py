@@ -272,3 +272,68 @@ def test_sp_attention_matches_single_device():
     )
     np.testing.assert_allclose(np.asarray(got_pallas), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded save → restore into the SAME NamedSharding layout on the
+    8-device mesh: every leaf bit-identical and placed per the original
+    sharding. Covers snuffy_tpu/train/checkpoint.py (the multi-host
+    checkpoint path; the msgpack runner path is single-host)."""
+    from snuffy_tpu.configs import MILTrainConfig, SnuffyModelConfig
+    from snuffy_tpu.parallel.sharded_train import shard_state
+    from snuffy_tpu.train.checkpoint import ShardedCheckpointManager
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(
+            feats_size=32, num_classes=1, num_heads=4, big_lambda=8,
+            random_patch_share=0.5, depth=1, use_pallas=False,
+        ),
+    )
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0)
+    mesh = make_mesh(factor_devices(8), num_heads=4)
+    state = shard_state(state, mesh)
+
+    mgr = ShardedCheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(0, state, metrics={"valid_auc": 0.5})
+    mgr.save(1, state, metrics={"valid_auc": 0.9})
+    restored = mgr.restore(1, state)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(state)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), x)
+        for p, x in jax.tree_util.tree_leaves_with_path(restored)
+    )
+    for path, a in flat_a:
+        b = flat_b[jax.tree_util.keystr(path)]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if hasattr(a, "sharding"):
+            assert b.sharding.is_equivalent_to(a.sharding, a.ndim), path
+
+    assert mgr.latest_step() == 1
+    assert mgr.best_step() == 1
+    # retention with best_fn keeps the max_to_keep BEST steps: the weak
+    # third checkpoint is the one garbage-collected (reference clean_up
+    # semantics — non-best epochs deleted, train.py:780-794).
+    mgr.save(2, state, metrics={"valid_auc": 0.1})
+    steps = set(mgr.all_steps())
+    assert 1 in steps and len(steps) == 2 and 2 not in steps
+    mgr.close()
+
+
+def test_orbax_save_restore_functions(tmp_path):
+    """Bare save_sharded/restore_sharded round-trip (no manager)."""
+    from snuffy_tpu.train.checkpoint import restore_sharded, save_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(factor_devices(8))
+    x = jax.device_put(
+        np.arange(64, dtype=np.float32).reshape(8, 8),
+        NamedSharding(mesh, P(("dcn", "dp"), None)),
+    )
+    tree = {"x": x, "step": jnp.asarray(3)}
+    save_sharded(str(tmp_path / "c"), 0, tree)
+    out = restore_sharded(str(tmp_path / "c"), 0, tree)
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(x))
+    assert out["x"].sharding.is_equivalent_to(x.sharding, 2)
