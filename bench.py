@@ -113,15 +113,24 @@ def bench_embeddings_per_sec():
 
     model = vit_small(patch_size=16, output="cls", compute_dtype="bfloat16")
     batch = 256
+    # uint8 patches + on-device normalization — the real extraction input
+    # contract (embed/pipeline.py): 4x less image HBM traffic than f32.
     x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
-        jnp.float32,
+        np.random.default_rng(0).integers(0, 256, (batch, 224, 224, 3)),
+        jnp.uint8,
     )
-    params = model.init(jax.random.PRNGKey(0), x[:1], True)["params"]
-    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx, True))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32), True
+    )["params"]
+
+    def fwd_u8(p, xx):
+        xf = xx.astype(jnp.float32) / 255.0
+        return model.apply({"params": p}, xf, True)
+
+    fwd = jax.jit(fwd_u8)
     out = fwd(params, x)
     float(np.asarray(out[0, 0]))
-    iters = 8
+    iters = 16
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, x)
