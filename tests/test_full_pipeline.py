@@ -106,3 +106,79 @@ def test_five_stage_pipeline(tmp_path, monkeypatch):
     assert len(bags) == 1  # one tumor slide in the test split
     pngs = os.listdir(str(tmp_path / "roi_output"))
     assert len(pngs) == 1 and all(p.endswith(".png") for p in pngs)
+
+
+def test_tcga_multiclass_pipeline(tmp_path, monkeypatch):
+    """The TCGA-Lung multiclass path through the real file contracts:
+    tile (no -level naming) → patient-aware folds → fold splitter →
+    compute_feats → snuffy_multiclass training (reference README.md:683,
+    deepzoom_tiler_tcga_lung_cancer.py, datasets/tcga/*)."""
+    import pandas as pd
+
+    from tests.test_tiling import make_slide
+
+    monkeypatch.chdir(tmp_path)
+
+    # ---- stage 0: raw slides, two classes, one slide per patient
+    base = tmp_path / "datasets" / "tcga"
+    slides = []
+    for cls in ("0_luad", "1_lusc"):
+        (base / cls).mkdir(parents=True)
+        for i in range(3):
+            name = f"TCGA-{cls[2:]}-{i:02}"
+            make_slide(str(base / cls / f"{name}.tif"))
+            slides.append(name)
+
+    # ---- stage 1: TCGA tiler CLI (svs default overridden to tif)
+    import deepzoom_tiler_tcga_lung_cancer as tiler_cli
+
+    tiler_cli.main(["-j", "0", "-t", "5", "-o", "20", "-b", "20",
+                    "--slide_format", "tif", "--datasets_path", "datasets"])
+    tiles = os.listdir(str(base / "single" / "0_luad" / "TCGA-luad-00"))
+    assert tiles and all(t.count("_") == 1 and "-" not in t for t in tiles), \
+        "TCGA naming contract: {col}_{row}.jpeg, no level suffix"
+
+    # ---- stage 2: patient folds + fold splitter
+    from snuffy_tpu.data.splits import (apply_split, split_from_fold_csv,
+                                        tcga_patient_folds)
+
+    pd.DataFrame({"patient": slides, "slide": slides}).to_csv(
+        str(base / "patients.csv"), index=False
+    )
+    fold_csvs = tcga_patient_folds(str(base / "patients.csv"),
+                                   str(base / "folds"), n_splits=3)
+    # contract: every fold csv parses into disjoint patient-level splits
+    split = split_from_fold_csv(fold_csvs[0])
+    assert set(split) == {"train", "validation", "test"}
+    assert not (set(split["train"]) & set(split["test"]))
+    # 6 patients can land single-class test splits; use a deterministic
+    # class-balanced assignment for the downstream stages
+    balanced = {
+        "train": ["TCGA-luad-00", "TCGA-lusc-00"],
+        "validation": ["TCGA-luad-01", "TCGA-lusc-01"],
+        "test": ["TCGA-luad-02", "TCGA-lusc-02"],
+    }
+    apply_split(str(base / "single"), balanced,
+                classes=("0_luad", "1_lusc"), fold=1)
+
+    # ---- stage 3: feature extraction CLI
+    import compute_feats as cf_cli
+
+    cf_cli.main(["--embedder=SimCLR", "--backbone=resnet18",
+                 "--batch_size=4", "--num_workers=0", "--num_classes=2",
+                 "--dataset=tcga", "--fold=fold1"])
+    emb_dir = tmp_path / "embeddings" / "tcga" / "SimCLR"
+    assert (emb_dir / "tcga.csv").exists()
+
+    # ---- stage 4: multiclass MIL training CLI from the extracted CSVs
+    import train as train_cli
+
+    summary = train_cli.main([
+        "--dataset=tcga", "--embedding=SimCLR", "--feats_size=512",
+        "--arch=snuffy_multiclass", "--num_classes=2", "--num_heads=2",
+        "--big_lambda=4", "--random_patch_share=0.5", "--num_epochs=2",
+        "--lr=1e-3", "--optimizer=adamw", "--use_mp=0", "--use_pallas=0",
+        "--wandb_run=tcga_e2e",
+    ])
+    aucs = summary["test_best"]["epoch_test_best_aucs"]
+    assert len(aucs) == 2  # one AUC per class through the real pipeline
