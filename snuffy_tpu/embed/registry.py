@@ -108,7 +108,7 @@ def build_embedder(
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
 
     if embedder.lower() == "simclr" or backbone == "resnet18":
-        model = ResNet18(norm=norm_layer)
+        model = ResNet18(norm=norm_layer, compute_dtype=compute_dtype)
         params = model.init(key, dummy)["params"]
         apply = lambda p, im: model.apply({"params": p}, im)
         dim = 512
@@ -124,7 +124,8 @@ def build_embedder(
             "mae_vit_base_patch16": mae_vit_base_patch16,
             "mae_vit_large_patch16": mae_vit_large_patch16,
         }[backbone]
-        model = factory(img_size=img_size, **adapter_kw)
+        model = factory(img_size=img_size, compute_dtype=compute_dtype,
+                        **adapter_kw)
         params = model.init(
             {"params": key, "masking": key}, dummy, 0.75, True
         )["params"]

@@ -47,6 +47,14 @@ class MaskedAutoencoderViT(nn.Module):
     adapter_scale: float = 0.1
     adapter_learnable_scale: bool = False
     adapter_layernorm_option: str = "none"
+    # 'bfloat16' runs encoder/decoder block matmuls in bf16 (params f32;
+    # the loss and emitted embeddings stay f32) — the TPU fast path for
+    # feature extraction and pretraining.
+    compute_dtype: str = "float32"
+
+    @property
+    def _cdt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     @property
     def grid(self) -> int:
@@ -71,11 +79,12 @@ class MaskedAutoencoderViT(nn.Module):
                 adapter_scale=self.adapter_scale,
                 adapter_learnable_scale=self.adapter_learnable_scale,
                 adapter_layernorm_option=self.adapter_layernorm_option,
+                dtype=self._cdt,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
         ]
-        self.enc_norm = nn.LayerNorm(name="norm")
+        self.enc_norm = nn.LayerNorm(dtype=self._cdt, name="norm")
 
         self.decoder_embed = nn.Dense(self.decoder_embed_dim,
                                       name="decoder_embed")
@@ -95,6 +104,7 @@ class MaskedAutoencoderViT(nn.Module):
                 adapter_scale=self.adapter_scale,
                 adapter_learnable_scale=self.adapter_learnable_scale,
                 adapter_layernorm_option=self.adapter_layernorm_option,
+                dtype=self._cdt,
                 name=f"decoder_blocks_{i}",
             )
             for i in range(self.decoder_depth)
@@ -207,8 +217,9 @@ class MaskedAutoencoderViT(nn.Module):
         of patch tokens, then norm (reference
         utils_ssls_cf/models_mae_normal.py:155-176)."""
         x = self._encode_tokens(imgs, True)
-        pooled = jnp.mean(x[:, 1:, :], axis=1)
-        return self.enc_norm(pooled)
+        # mean-pool accumulates f32; embeddings leave the model in f32
+        pooled = jnp.mean(x[:, 1:, :].astype(jnp.float32), axis=1)
+        return self.enc_norm(pooled).astype(jnp.float32)
 
 
 def embed(model: MaskedAutoencoderViT, variables, imgs: jnp.ndarray) -> jnp.ndarray:

@@ -19,12 +19,15 @@ import jax.numpy as jnp
 
 class InstanceNorm(nn.Module):
     """torch InstanceNorm2d(affine=False): per-sample, per-channel spatial
-    normalization, no learned parameters, no running stats."""
+    normalization, no learned parameters, no running stats. Statistics
+    always accumulate in f32 (the bf16 compute path feeds bf16 activations
+    through; a bf16 spatial mean over 112×112 loses ~2 decimal digits)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
+        x = x.astype(jnp.float32)
         mu = x.mean(axis=(1, 2), keepdims=True)
         var = x.var(axis=(1, 2), keepdims=True)
         return (x - mu) / jnp.sqrt(var + self.epsilon)
@@ -59,6 +62,7 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     norm: str = "instance"
+    dtype: object = None  # conv compute dtype (bf16 MXU path); norms are f32
 
     def _norm(self, name: str) -> nn.Module:
         if self.norm == "batch":
@@ -69,26 +73,33 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(self._norm("bn1")(y))
         y = nn.Conv(self.features, (3, 3), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = self._norm("bn2")(y)
         if x.shape[-1] != self.features or self.stride != 1:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             residual = self._norm("downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
 class ResNet18(nn.Module):
     norm: str = "instance"
+    # 'bfloat16' runs the convs on the MXU bf16 path; per-layer norms
+    # (instance/frozen-batch) keep f32 statistics, output is f32.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 3) → (B, 512)
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=cdt, name="conv1")(x)
         y = (FrozenBatchNorm(64, name="bn1")(y) if self.norm == "batch"
              else InstanceNorm()(y))
         y = nn.relu(y)
@@ -97,5 +108,5 @@ class ResNet18(nn.Module):
         for li, (feats, stride) in enumerate(plan, start=1):
             for bi in range(2):
                 y = BasicBlock(feats, stride if bi == 0 else 1, self.norm,
-                               name=f"layer{li}_{bi}")(y)
-        return jnp.mean(y, axis=(1, 2))
+                               dtype=cdt, name=f"layer{li}_{bi}")(y)
+        return jnp.mean(y.astype(jnp.float32), axis=(1, 2))

@@ -76,6 +76,12 @@ def compute_dtype_of(cfg: SnuffyModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def ln_dtype(cfg: SnuffyModelConfig):
+    """LayerNorm compute dtype: bf16 on the bf16 stream, flax default
+    (None -> promote to f32) otherwise."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 class FCLayer(nn.Module):
     """Instance classifier: feats → (feats, logits) (reference snuffy.py:34-41)."""
 
@@ -211,9 +217,7 @@ class EncoderLayer(nn.Module):
         # (reference snuffy.py:131,145 + SublayerConnection snuffy.py:102-108).
         sel_tokens = jnp.take(x, sel.indices, axis=0)
 
-        normed = nn.LayerNorm(dtype=compute_dtype_of(cfg)
-                              if cfg.compute_dtype == "bfloat16" else None,
-                              name="ln_attn")(x)
+        normed = nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_attn")(x)
         attn_out, p_attn = MultiHeadedAttention(cfg, name="attn")(
             normed, sel_tokens, normed, sel.slot_valid, mask, deterministic
         )
@@ -228,10 +232,7 @@ class EncoderLayer(nn.Module):
         y = x.at[scatter_idx].set(new_sel, mode="drop")
 
         ff = PositionwiseFeedForward(cfg, self.ffn_dropout, name="ff")(
-            nn.LayerNorm(dtype=compute_dtype_of(cfg)
-                         if cfg.compute_dtype == "bfloat16" else None,
-                         name="ln_ff")(y),
-            deterministic,
+            nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_ff")(y), deterministic
         )
         ff = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(ff)
         return y + ff, p_attn
@@ -257,9 +258,7 @@ class Encoder(nn.Module):
             x, p_attn = EncoderLayer(
                 cfg, self.ffn_dropout, name=f"layer_{i}"
             )(x, prep, mask, deterministic)
-        return nn.LayerNorm(dtype=compute_dtype_of(cfg)
-                            if cfg.compute_dtype == "bfloat16" else None,
-                            name="ln_final")(x), p_attn
+        return nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_final")(x), p_attn
 
 
 class BClassifier(nn.Module):

@@ -269,3 +269,36 @@ def test_native_csv_parser_matches_pandas(tmp_path):
     ref = pd.read_csv(path).to_numpy(np.float32)
     assert fast.shape == ref.shape
     np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_embedder_bf16_close_to_f32_all_families():
+    """compute_dtype='bfloat16' must be honored by EVERY registry branch
+    (SimCLR/ResNet18 and MAE were silently f32 before) and track the f32
+    embeddings within bf16 tolerance (params and outputs stay f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.embed.registry import build_embedder
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 224, 224, 3)), jnp.float32)
+
+    cases = [
+        dict(embedder="SimCLR", backbone="resnet18", num_classes=1,
+             patch_size=16, use_adapter=False, adapter_ffn_num=8,
+             adapter_ffn_scalar=4.0),
+        dict(embedder="MAE", backbone="mae_vit_base_patch16", num_classes=1,
+             patch_size=16, use_adapter=True, adapter_ffn_num=8,
+             adapter_ffn_scalar=4.0),
+    ]
+    for kw in cases:
+        e32 = build_embedder(compute_dtype="float32", **kw)
+        e16 = build_embedder(compute_dtype="bfloat16", **kw)
+        e16.params = e32.params  # same weights, different compute dtype
+        f32 = np.asarray(e32.backbone_apply(e32.params, img))
+        f16 = np.asarray(e16.backbone_apply(e16.params, img))
+        assert f16.dtype == np.float32, kw["embedder"]
+        cos = (f32 * f16).sum() / (
+            np.linalg.norm(f32) * np.linalg.norm(f16) + 1e-9
+        )
+        assert cos > 0.99, (kw["embedder"], cos)

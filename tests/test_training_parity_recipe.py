@@ -253,9 +253,13 @@ def test_recipe_scale_binary_parity():
     # One-sided: the rebuild must not be WORSE than the torch loop by more
     # than the band (16 test bags → single-run AUC is noisy, and scoring
     # higher than the reference is not a parity failure — observed runs:
-    # ref 0.875 vs serial 1.000 on identical bags).
+    # ref 0.875 vs serial 1.000 on identical bags). A loose upper bound
+    # still catches gross better-than-reference divergence (e.g. label
+    # leakage) without tripping on noise.
     assert auc_serial >= auc_ref - 0.1
     assert auc_batched >= auc_ref - 0.15  # batched relaxes serial SGD
+    assert auc_serial - auc_ref < 0.2
+    assert auc_batched - auc_ref < 0.2
 
 
 def test_recipe_scale_multiclass_parity():
@@ -273,3 +277,4 @@ def test_recipe_scale_multiclass_parity():
     assert auc_ref > 0.8, f"reference failed to learn ({auc_ref:.3f})"
     assert auc_mine > 0.8
     assert auc_mine >= auc_ref - 0.12  # one-sided, see binary test
+    assert auc_mine - auc_ref < 0.2
