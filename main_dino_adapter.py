@@ -46,6 +46,10 @@ def get_args_parser():
                         "batches (reference main_dino_adapter.py:117-119)")
     p.add_argument("--drop_path_rate", default=0.1, type=float,
                    help="stochastic depth rate")
+    p.add_argument("--compute_dtype", default="bfloat16", type=str,
+                   choices=["float32", "bfloat16"],
+                   help="ViT block matmul dtype for student/teacher; bf16 "
+                        "is the TPU-native fast path (params/loss stay f32)")
     p.add_argument("--global_crops_scale", type=float, nargs="+",
                    default=(0.4, 1.0))
     p.add_argument("--local_crops_number", default=8, type=int)
@@ -92,6 +96,7 @@ def train_dino(args):
         use_adapter=args.use_adapter, adapter_bottleneck=args.ffn_num,
         adapter_scale=args.adapter_ffn_scalar,
         drop_path_rate=args.drop_path_rate,
+        compute_dtype=args.compute_dtype,
     )
     trainer = DINOTrainer(
         backbone,

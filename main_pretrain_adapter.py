@@ -50,6 +50,10 @@ def get_args_parser():
                    default="[True, False]", type=str,
                    help="composite flag: train decoder linears / re-init them")
     p.add_argument("--max_steps_per_epoch", default=None, type=int)
+    p.add_argument("--compute_dtype", default="bfloat16", type=str,
+                   choices=["float32", "bfloat16"],
+                   help="encoder/decoder block matmul dtype; bf16 is the "
+                        "TPU-native fast path (params and loss stay f32)")
     return p
 
 
@@ -84,6 +88,7 @@ def train_mae(args):
         use_adapter=args.use_adapter,
         adapter_bottleneck=args.ffn_num,
         adapter_scale=args.adapter_ffn_scalar,
+        compute_dtype=args.compute_dtype,
     )
     trainer = MAETrainer(
         model,

@@ -57,7 +57,8 @@ def bench_mae(batch=64, iters=10):
     from snuffy_tpu.models.mae import mae_vit_base_patch16
     from snuffy_tpu.ssl.mae_trainer import MAETrainer
 
-    model = mae_vit_base_patch16(use_adapter=True, adapter_bottleneck=64)
+    model = mae_vit_base_patch16(use_adapter=True, adapter_bottleneck=64,
+                                 compute_dtype="bfloat16")
     tr = MAETrainer(model, mask_ratio=0.75, freeze_non_adapter=True,
                     use_bf16=True)
     state = tr.init_state(0)
