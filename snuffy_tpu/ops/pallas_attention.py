@@ -280,6 +280,18 @@ def _sa_bwd(scale, rate, tile_n, res, g):
 _sparse_attention_padded.defvjp(_sa_fwd, _sa_bwd)
 
 
+def _fit_tile_n(tile_n: int, s_p: int) -> int:
+    """VMEM guard: the backward kernel holds ~two f32 (tile_n, s_p) score
+    buffers plus the q/k/v/g tiles in scoped VMEM (16 MB hard limit). At
+    the Λ=900 recipe (s_p=1024) the 2048 default tile is a 20.3 MB scoped
+    allocation → compile error on real TPU (interpret mode has no limit,
+    so only on-chip runs see it). Halve the tile until the score blocks
+    fit (~12 MB budget leaves room for the operand tiles)."""
+    while tile_n > 256 and tile_n * s_p > (3 << 19):
+        tile_n //= 2
+    return tile_n
+
+
 def fused_inverted_sparse_attention(
     q: jnp.ndarray,           # (h, N, dk)
     k: jnp.ndarray,           # (h, S, dk)
@@ -301,7 +313,7 @@ def fused_inverted_sparse_attention(
     s_p = _round_up(s, 128)
     # Small bags should not pad up to a full tile (the model path calls
     # with the global default; MUSK-scale bags are <128 tokens).
-    tile_n = min(tile_n, _round_up(n, 128))
+    tile_n = _fit_tile_n(min(tile_n, _round_up(n, 128)), s_p)
     n_p = _round_up(n, tile_n)
 
     def pad3(x, nn, cc):

@@ -112,3 +112,41 @@ def test_fused_dropout_keep_rate():
     f = _keep_factor(jnp.int32(7), jnp.int32(0), jnp.int32(0), 512, 128, 0.3)
     keep_frac = float((np.asarray(f) > 0).mean())
     assert abs(keep_frac - 0.7) < 0.02
+
+
+def test_fit_tile_n_vmem_guard():
+    """The backward kernel's scoped VMEM holds ~two f32 (tile_n, s_p)
+    score blocks; at the Λ=900 recipe (s_p=1024) the 2048 default tile
+    was a 20.3 MB scoped allocation — a hard compile error on real TPU
+    that interpret mode cannot see. The guard halves the tile until the
+    blocks fit."""
+    from snuffy_tpu.ops.pallas_attention import _fit_tile_n
+
+    assert _fit_tile_n(2048, 512) == 2048   # Λ≤512: untouched
+    assert _fit_tile_n(2048, 1024) == 1024  # Λ=900 (padded 1024): halved
+    assert _fit_tile_n(1024, 1024) == 1024
+    assert _fit_tile_n(2048, 4096) == 256   # floor
+
+
+def test_kernel_matches_oracle_at_lambda_900():
+    """Kernel vs XLA oracle at the DINO-scratch recipe's selection width
+    (Λ=900 → S=900 slots, beyond the 512 every other test uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.ops.pallas_attention import fused_inverted_sparse_attention
+    from snuffy_tpu.ops.sparse_attention import inverted_sparse_attention
+
+    h, n, dk, s = 2, 1536, 96, 900
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h, s, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    slot_valid = jnp.asarray(np.arange(s) < 880)
+    q_valid = jnp.asarray(np.arange(n) < 1400)
+
+    ref, _ = inverted_sparse_attention(q, k, v, slot_valid, q_valid)
+    out = fused_inverted_sparse_attention(q, k, v, slot_valid, q_valid,
+                                          tile_n=2048)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
