@@ -290,6 +290,9 @@ def test_embedder_bf16_close_to_f32_all_families():
         dict(embedder="MAE", backbone="mae_vit_base_patch16", num_classes=1,
              patch_size=16, use_adapter=True, adapter_ffn_num=8,
              adapter_ffn_scalar=4.0),
+        dict(embedder="DINO", backbone="vit_small", num_classes=1,
+             patch_size=16, use_adapter=True, adapter_ffn_num=8,
+             adapter_ffn_scalar=4.0),
     ]
     for kw in cases:
         e32 = build_embedder(compute_dtype="float32", **kw)
