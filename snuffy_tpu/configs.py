@@ -51,6 +51,10 @@ class SnuffyModelConfig:
     # activation/matmul dtype; params and losses stay float32. 'bfloat16'
     # is the TPU-native choice (MXU runs bf16 at 2x float32 throughput).
     compute_dtype: str = "float32"
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(depth) less activation HBM — enables
+    # training on ultra-long bags (N >> 10k) on a single chip.
+    remat: bool = False
 
     @property
     def top_share(self) -> float:

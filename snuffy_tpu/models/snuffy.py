@@ -254,8 +254,16 @@ class Encoder(nn.Module):
                 c[:, 0], mask, min(cfg.k_top, x.shape[0])
             )
         p_attn = None
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            # Rematerialize each layer's activations in the backward pass:
+            # the HBM-for-FLOPs trade (jax.checkpoint) that lets ultra-long
+            # bags (N >> 10k) train on one chip without spilling the per-
+            # layer (N, d) residual stream. `deterministic` is static
+            # (argnum 4 incl. self); RNGs/params are handled by flax.
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(cfg.depth):
-            x, p_attn = EncoderLayer(
+            x, p_attn = layer_cls(
                 cfg, self.ffn_dropout, name=f"layer_{i}"
             )(x, prep, mask, deterministic)
         return nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_final")(x), p_attn

@@ -191,3 +191,40 @@ def test_milnet_bfloat16_close_to_float32():
     np.testing.assert_allclose(
         np.asarray(ins16), np.asarray(ins32), rtol=1e-4, atol=1e-5
     )
+
+
+def test_remat_encoder_identical_outputs_and_grads():
+    """cfg.remat wraps each EncoderLayer in jax.checkpoint: forward and
+    gradients must be bit-compatible with the non-remat model (the trade
+    is HBM for recompute FLOPs, not numerics) — the long-bag path of
+    SURVEY §5 'long-context handling'."""
+    base = dict(feats_size=32, num_classes=1, num_heads=4, big_lambda=8,
+                random_patch_share=0.5, depth=2, use_pallas=False)
+    cfgA = SnuffyModelConfig(**base)
+    cfgB = SnuffyModelConfig(**base, remat=True)
+    n = 64
+    params = init_milnet_params(cfgA, seed=0, n_example=n)
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, 32)), jnp.float32
+    )
+    mask = jnp.asarray(np.arange(n) < 50)
+    from snuffy_tpu.models.snuffy import build_milnet
+
+    mA, mB = build_milnet(cfgA), build_milnet(cfgB)
+    rngs = {"sparse": jax.random.PRNGKey(1)}
+
+    outA = mA.apply({"params": params}, feats, mask, True, rngs=rngs)
+    outB = mB.apply({"params": params}, feats, mask, True, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(outA[1]), np.asarray(outB[1]),
+                               rtol=1e-6)
+
+    def grads(m):
+        def f(p):
+            _, bag, _ = m.apply({"params": p}, feats, mask, True, rngs=rngs)
+            return jnp.sum(bag)
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(mA)),
+                    jax.tree_util.tree_leaves(grads(mB))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

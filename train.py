@@ -80,6 +80,11 @@ def get_args_parser():
     parser.add_argument("--bag_batch_size", default=1, type=int,
                         help="bags per optimizer step (1 = reference serial"
                              " semantics; >1 = batched grads for throughput)")
+    parser.add_argument("--remat", default=0, choices=[0, 1], type=int,
+                        help="rematerialize encoder layers in backward "
+                             "(jax.checkpoint): ~1/3 more FLOPs for "
+                             "O(depth) less activation HBM — ultra-long "
+                             "bags on one chip")
     return parser
 
 
@@ -110,6 +115,7 @@ def build_config(args):
         weight_init_i=inits[1],
         weight_init_b=inits[2],
         use_pallas=bool(args.use_pallas),
+        remat=bool(args.remat),
     )
     optim = OptimizerConfig(
         optimizer=args.optimizer,
