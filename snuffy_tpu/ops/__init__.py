@@ -7,3 +7,6 @@ from snuffy_tpu.ops.selection import (  # noqa: F401
 from snuffy_tpu.ops.sparse_attention import (  # noqa: F401
     inverted_sparse_attention,
 )
+from snuffy_tpu.ops.dense_attention import (  # noqa: F401
+    fused_self_attention,
+)
