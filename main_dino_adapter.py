@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+from snuffy_tpu.configs import bool_flag
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("DINO-adapter pretraining (TPU-native)")
@@ -26,7 +28,10 @@ def get_args_parser():
                    choices=["vit_tiny", "vit_small", "vit_base"])
     p.add_argument("--patch_size", default=16, type=int)
     p.add_argument("--out_dim", default=65536, type=int)
-    p.add_argument("--norm_last_layer", default=True, type=bool)
+    p.add_argument("--norm_last_layer", default=True, type=bool_flag)
+    p.add_argument("--use_bn_in_head", default=False, type=bool_flag,
+                   help="BatchNorm in the DINO projection head (reference "
+                        "main_dino_adapter.py:91)")
     p.add_argument("--momentum_teacher", default=0.996, type=float)
     p.add_argument("--warmup_teacher_temp", default=0.04, type=float)
     p.add_argument("--teacher_temp", default=0.04, type=float)
@@ -70,7 +75,7 @@ def get_args_parser():
                         "main_dino_adapter.py:155-157)")
     p.add_argument("--adapter_ffn_scalar", default=4.0, type=float)
     p.add_argument("--ffn_num", default=64, type=int)
-    p.add_argument("--use_adapter", default=True, type=bool)
+    p.add_argument("--use_adapter", default=True, type=bool_flag)
     p.add_argument("--img_size", default=224, type=int)
     p.add_argument("--global_size", default=224, type=int)
     p.add_argument("--local_size", default=96, type=int)
@@ -112,6 +117,7 @@ def train_dino(args):
         clip_grad=args.clip_grad,
         norm_last_layer=args.norm_last_layer,
         optimizer=args.optimizer,
+        use_bn_in_head=args.use_bn_in_head,
     )
     state = trainer.init_state(args.seed)
 
@@ -177,18 +183,24 @@ def train_dino(args):
     ckpt = os.path.join(args.output_dir, "checkpoint.msgpack")
     if os.path.exists(ckpt):
         # restart_from_checkpoint equivalent (reference
-        # dino_adapter/utils.py:157-189): restore model state + epoch.
+        # dino_adapter/utils.py:157-189): restore model + OPTIMIZER + BN
+        # state + epoch — the reference restores the torch optimizer and
+        # fp16 scaler too; dropping opt_state would silently reset the Adam
+        # moments on every restart.
         from flax import serialization
 
         template = {
             "student": state.student, "teacher": state.teacher,
-            "center": state.center, "step": state.step, "epoch": 0,
+            "center": state.center, "step": state.step,
+            "opt_state": state.opt_state, "bn_stats": state.bn_stats,
+            "epoch": 0,
         }
         with open(ckpt, "rb") as f:
             payload = serialization.from_bytes(template, f.read())
         state = state._replace(
             student=payload["student"], teacher=payload["teacher"],
             center=payload["center"], step=payload["step"],
+            opt_state=payload["opt_state"], bn_stats=payload["bn_stats"],
         )
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {ckpt} at epoch {start_epoch}")
@@ -263,6 +275,8 @@ def _save(args, trainer, state, epoch):
         "teacher": state.teacher,
         "center": state.center,
         "step": state.step,
+        "opt_state": state.opt_state,
+        "bn_stats": state.bn_stats,
         "epoch": epoch,
     }
     path = os.path.join(args.output_dir, "checkpoint.msgpack")

@@ -20,6 +20,8 @@ import time
 
 import numpy as np
 
+from snuffy_tpu.configs import bool_flag
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("MAE-adapter pretraining (TPU-native)")
@@ -45,7 +47,7 @@ def get_args_parser():
                    help="published MAE .pth to start from")
     p.add_argument("--adapter_ffn_scalar", default=4.0, type=float)
     p.add_argument("--ffn_num", default=64, type=int)
-    p.add_argument("--use_adapter", default=True, type=bool)
+    p.add_argument("--use_adapter", default=True, type=bool_flag)
     p.add_argument("--train_linears__linears_from_scratch",
                    default="[True, False]", type=str,
                    help="composite flag: train decoder linears / re-init them")
@@ -136,12 +138,18 @@ def train_mae(args):
     start_epoch = 0
     rolling = os.path.join(args.output_dir, "checkpoint.msgpack")
     if os.path.exists(rolling):
+        # misc.load_model equivalent (reference mae_adapter/util/misc.py:
+        # 317-333): model + OPTIMIZER state + epoch — the Adam moments must
+        # survive a restart.
         from flax import serialization
 
-        template = {"params": state.params, "step": state.step, "epoch": 0}
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step, "epoch": 0}
         with open(rolling, "rb") as f:
             payload = serialization.from_bytes(template, f.read())
-        state = state._replace(params=payload["params"], step=payload["step"])
+        state = state._replace(params=payload["params"],
+                               opt_state=payload["opt_state"],
+                               step=payload["step"])
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {rolling} at epoch {start_epoch}")
         # wandb-history-replay equivalent: keep each epoch's metrics exactly
@@ -162,9 +170,11 @@ def train_mae(args):
                 break
             frac_epoch = epoch + bi / iters
             key, k = jax.random.split(key)
+            # uint8 straight to the device; the step normalizes there
+            # (4× less host→device traffic than f32 pixels).
             state, loss = step(
                 state,
-                jnp.asarray(batch, jnp.float32) / 255.0,
+                jnp.asarray(batch, jnp.uint8),
                 jnp.asarray(lr_s(frac_epoch), jnp.float32),
                 k,
             )
@@ -179,9 +189,7 @@ def train_mae(args):
                 if bi >= 10:
                     break
                 key, k = jax.random.split(key)
-                vl.append(trainer.eval_loss(
-                    state, np.asarray(batch, np.float32) / 255.0, k
-                ))
+                vl.append(trainer.eval_loss(state, np.asarray(batch, np.uint8), k))
             val_loss = float(np.mean(vl)) if vl else None
 
         row = {
@@ -200,7 +208,8 @@ def train_mae(args):
 
         with open(rolling, "wb") as f:
             f.write(serialization.to_bytes(
-                {"params": state.params, "step": state.step, "epoch": epoch}
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step, "epoch": epoch}
             ))
 
         # best-val checkpoint with previous-best deletion

@@ -123,6 +123,12 @@ class MILTrainConfig:
     roc_run_epoch: Optional[int] = None
     roc_data_split: str = "test"
 
+    @property
+    def for_roc_curve(self) -> bool:
+        """Derived exactly as the reference derives it (reference
+        train.py:985-990): BOTH --roc_run_name and --roc_run_epoch set."""
+        return self.roc_run_name is not None and self.roc_run_epoch is not None
+
 
 def parse_literal_flag(value):
     """Parse the reference's composite sweep flags (lists encoded as strings),
@@ -130,6 +136,24 @@ def parse_literal_flag(value):
     if isinstance(value, (list, tuple)):
         return value
     return ast.literal_eval("".join(value))
+
+
+def bool_flag(s):
+    """Boolean CLI parser (reference dino_adapter/utils.py:206-218).
+
+    `type=bool` silently maps every non-empty string — including "False" —
+    to True; this parser accepts on/off/true/false/0/1 and rejects anything
+    else, so `--norm_last_layer false` actually turns the flag off."""
+    import argparse
+
+    if isinstance(s, bool):
+        return s
+    low = str(s).lower()
+    if low in ("off", "false", "0"):
+        return False
+    if low in ("on", "true", "1"):
+        return True
+    raise argparse.ArgumentTypeError("invalid value for a boolean flag")
 
 
 def replace(cfg, **kw):

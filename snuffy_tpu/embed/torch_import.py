@@ -174,6 +174,9 @@ def load_torch_full_checkpoint(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 # (GELUs sit at mlp.1 / mlp.3; reference
 # dino_adapter/vision_transformer_with_adapter.py:287-297).
 _DINO_HEAD_MLP = {"mlp.0": "mlp_0", "mlp.2": "mlp_1", "mlp.4": "mlp_2"}
+# use_bn_in_head layout: Linear/BN/GELU triplets (reference :289-294).
+_DINO_HEAD_MLP_BN = {"mlp.0": "mlp_0", "mlp.3": "mlp_1", "mlp.6": "mlp_2"}
+_DINO_HEAD_BN = {"mlp.1": "bn_0", "mlp.4": "bn_1"}
 
 
 def import_dino_head(sd: Dict[str, np.ndarray], template: dict,
@@ -202,11 +205,23 @@ def import_dino_head(sd: Dict[str, np.ndarray], template: dict,
             return
         _set(tree, flax_path, arr)
 
-    for tk, fk in _DINO_HEAD_MLP.items():
+    # BN-equipped heads shift the Linear indices to 0/3/6 (use_bn_in_head);
+    # detect by the presence of a running_mean key. BN running stats live in
+    # flax's batch_stats collection, not params — they restart from init
+    # (zeros/ones) on import; scale/bias map normally.
+    use_bn = any(k.endswith("running_mean") for k in sd)
+    mlp_map = _DINO_HEAD_MLP_BN if use_bn else _DINO_HEAD_MLP
+    for tk, fk in mlp_map.items():
         if f"{tk}.weight" in sd:
             try_set((fk, "kernel"), sd[f"{tk}.weight"].T)
         if f"{tk}.bias" in sd:
             try_set((fk, "bias"), sd[f"{tk}.bias"])
+    if use_bn:
+        for tk, fk in _DINO_HEAD_BN.items():
+            if f"{tk}.weight" in sd:
+                try_set((fk, "scale"), sd[f"{tk}.weight"])
+            if f"{tk}.bias" in sd:
+                try_set((fk, "bias"), sd[f"{tk}.bias"])
     v = sd.get("last_layer.weight_v")
     if v is None:
         v = sd.get("last_layer.weight")

@@ -84,7 +84,11 @@ class MaskedAutoencoderViT(nn.Module):
             )
             for i in range(self.depth)
         ]
-        self.enc_norm = nn.LayerNorm(dtype=self._cdt, name="norm")
+        # enc_norm stays f32 even on the bf16 stream: it runs once per
+        # forward on a small tensor, and `embed_tokens` feeds it the pooled
+        # (B, D) embedding whose 'embeddings leave the model in f32'
+        # contract would otherwise be silently bf16-rounded here.
+        self.enc_norm = nn.LayerNorm(name="norm")
 
         self.decoder_embed = nn.Dense(self.decoder_embed_dim,
                                       name="decoder_embed")

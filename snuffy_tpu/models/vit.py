@@ -322,8 +322,15 @@ def vit_large(**kw):
 
 
 class DINOHead(nn.Module):
-    """3-layer MLP → L2-norm → weight-normed linear (reference
-    dino_adapter/vision_transformer_with_adapter.py:279-314)."""
+    """3-layer MLP (optional BatchNorm) → L2-norm → weight-normed linear
+    (reference dino_adapter/vision_transformer_with_adapter.py:279-314).
+
+    With `use_bn`, a BatchNorm follows each hidden Dense (torch layout
+    Linear→BN→GELU, reference :289-294). `train=True` normalizes with batch
+    statistics and updates the 'batch_stats' collection (call with
+    mutable=['batch_stats']); `train=False` uses the running averages.
+    flax momentum 0.9 ≡ torch BatchNorm1d momentum 0.1.
+    """
 
     out_dim: int = 65536
     hidden_dim: int = 2048
@@ -332,12 +339,17 @@ class DINOHead(nn.Module):
     norm_last_layer: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         init = nn.initializers.truncated_normal(0.02)
         for i, feats in enumerate((self.hidden_dim, self.hidden_dim,
                                    self.bottleneck_dim)):
             x = nn.Dense(feats, kernel_init=init, name=f"mlp_{i}")(x)
             if i < 2:
+                if self.use_bn:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=f"bn_{i}",
+                    )(x)
                 x = nn.gelu(x, approximate=False)
         x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
         # weight-norm last layer: direction v (trainable), magnitude g

@@ -286,9 +286,17 @@ def _fit_tile_n(tile_n: int, s_p: int) -> int:
     the Λ=900 recipe (s_p=1024) the 2048 default tile is a 20.3 MB scoped
     allocation → compile error on real TPU (interpret mode has no limit,
     so only on-chip runs see it). Halve the tile until the score blocks
-    fit (~12 MB budget leaves room for the operand tiles)."""
-    while tile_n > 256 and tile_n * s_p > (3 << 19):
+    fit (~12 MB budget leaves room for the operand tiles); below the
+    128-row floor the budget is unreachable, so fail loudly instead of
+    shipping a kernel that only dies at on-chip compile time."""
+    while tile_n > 128 and tile_n * s_p > (3 << 19):
         tile_n //= 2
+    if tile_n * s_p > (3 << 19):
+        raise ValueError(
+            f"fused sparse attention cannot fit VMEM: padded slot count "
+            f"{s_p} needs > 12 MB of f32 score buffer even at tile_n=128; "
+            f"use the einsum path (use_pallas=False) for Λ this large"
+        )
     return tile_n
 
 

@@ -43,6 +43,9 @@ class DINOState(NamedTuple):
     center: jnp.ndarray   # (1, out_dim)
     opt_state: Any
     step: jnp.ndarray
+    # BatchNorm running stats for the heads when use_bn_in_head (reference
+    # --use_bn_in_head, main_dino_adapter.py:91); empty dicts otherwise.
+    bn_stats: Any = None
 
 
 def is_trainable_path(path: Tuple[str, ...], freeze_backbone: bool) -> bool:
@@ -114,6 +117,7 @@ class DINOTrainer:
         head_hidden_dim: int = 2048,
         head_bottleneck_dim: int = 256,
         optimizer: str = "adamw",
+        use_bn_in_head: bool = False,
     ):
         if optimizer not in ("adamw", "sgd", "lars"):
             raise KeyError(
@@ -126,6 +130,7 @@ class DINOTrainer:
             hidden_dim=head_hidden_dim,
             bottleneck_dim=head_bottleneck_dim,
             norm_last_layer=norm_last_layer,
+            use_bn=use_bn_in_head,
         )
         self.out_dim = out_dim
         self.student_temp = student_temp
@@ -159,9 +164,15 @@ class DINOTrainer:
         gdummy = jnp.zeros((1, self.global_size, self.global_size, 3))
         bb = self.backbone.init(k1, gdummy, True)["params"]
         cls = self.backbone.apply({"params": bb}, gdummy, True)
-        head = self.head.init(k2, cls)["params"]
+        head_vars = self.head.init(k2, cls)
+        head = head_vars["params"]
+        head_bn = head_vars.get("batch_stats", {})
         student = {"backbone": bb, "head": head}
         teacher = jax.tree_util.tree_map(jnp.copy, student)
+        bn_stats = {
+            "student": head_bn,
+            "teacher": jax.tree_util.tree_map(jnp.copy, head_bn),
+        }
         # Optimizer choice matches the reference's surface (reference
         # dino_adapter/main_dino_adapter.py:352-359): adamw for ViTs,
         # sgd (momentum 0.9) / LARS (utils.py:565-605) for convnets/large
@@ -179,7 +190,7 @@ class DINOTrainer:
         opt_state = self.tx.init(student)
         return DINOState(
             student, teacher, jnp.zeros((1, self.out_dim)), opt_state,
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), bn_stats,
         )
 
     # ------------------------------------------------------------- forwards
@@ -188,6 +199,21 @@ class DINOTrainer:
         """(2, B, gs, gs, 3) + (L, B, ls, ls, 3) → (2+L, B, out_dim).
         One backbone call per resolution (crops folded into the batch), one
         head call over everything — the MultiCropWrapper contract."""
+        logits, _ = self.forward_views_bn(
+            params, {}, globals_, locals_, deterministic, rngs=rngs
+        )
+        return logits
+
+    def forward_views_bn(self, params, bn_stats, globals_, locals_,
+                         deterministic, rngs=None, bn_train=None):
+        """forward_views plus head BatchNorm handling: returns
+        (logits (V, B, out_dim), updated batch_stats). `bn_train` decouples
+        the head's BN mode from backbone dropout — the teacher runs its
+        backbone deterministically but its BN on batch statistics, exactly
+        like a torch module left in train() mode under no_grad."""
+        if bn_train is None:
+            bn_train = not deterministic
+
         def run(crops):
             v, b = crops.shape[0], crops.shape[1]
             flat = crops.reshape((v * b,) + crops.shape[2:])
@@ -202,10 +228,18 @@ class DINOTrainer:
             outs.append(run(locals_))
         cls_all = jnp.concatenate(outs, axis=0)  # (V, B, D)
         v, b, d = cls_all.shape
-        logits = self.head.apply(
-            {"params": params["head"]}, cls_all.reshape(v * b, d)
-        )
-        return logits.reshape(v, b, self.out_dim)
+        head_vars = {"params": params["head"]}
+        if bn_stats:
+            head_vars["batch_stats"] = bn_stats
+        if bn_stats and bn_train:
+            logits, mut = self.head.apply(
+                head_vars, cls_all.reshape(v * b, d), True,
+                mutable=["batch_stats"],
+            )
+            bn_stats = mut["batch_stats"]
+        else:
+            logits = self.head.apply(head_vars, cls_all.reshape(v * b, d))
+        return logits.reshape(v, b, self.out_dim), bn_stats
 
     def dino_loss(self, student_out, teacher_out, center, teacher_temp):
         """Cross-entropy between teacher (centered+sharpened, 2 global views)
@@ -246,43 +280,54 @@ class DINOTrainer:
 
         def step(state: DINOState, globals_, locals_, lr, wd, momentum,
                  teacher_temp, cancel_last, rng):
-            k_s, k_t = jax.random.split(rng)
+            k_drop, k_path = jax.random.split(rng)
 
             def loss_fn(student):
-                s_out = self.forward_views(
-                    student, globals_, locals_, False,
-                    rngs={"dropout": k_s, "droppath": k_s},
+                s_out, bn_s = self.forward_views_bn(
+                    student, state.bn_stats["student"], globals_, locals_,
+                    False, rngs={"dropout": k_drop, "droppath": k_path},
                 )
                 # Teacher sees only the 2 global views
-                # (reference main_dino_adapter.py:513-515).
-                t_out = self.forward_views(
-                    state.teacher, globals_, locals_[:0], True
+                # (reference main_dino_adapter.py:513-515); its head BN runs
+                # on batch statistics (torch train-mode module under no_grad).
+                t_out, bn_t = self.forward_views_bn(
+                    jax.lax.stop_gradient(state.teacher),
+                    state.bn_stats["teacher"], globals_, locals_[:0], True,
+                    bn_train=True,
                 )
-                return self.dino_loss(s_out, t_out, state.center, teacher_temp)
+                loss, new_center = self.dino_loss(
+                    s_out, t_out, state.center, teacher_temp
+                )
+                return loss, (new_center, {"student": bn_s, "teacher": bn_t})
 
-            (loss, new_center), grads = jax.value_and_grad(
+            (loss, (new_center, new_bn)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.student)
+            new_bn = jax.lax.stop_gradient(new_bn)
+
+            def cancel(gs):
+                # cancel last-layer grads while cancel_last (traced 0/1
+                # scalar; reference dino_adapter/utils.py:148-154)
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, g: jnp.where(
+                        cancel_last
+                        & jnp.asarray(
+                            any(
+                                "last_layer" in str(
+                                    p.key if hasattr(p, "key") else p
+                                )
+                                for p in path
+                            )
+                        ),
+                        jnp.zeros_like(g),
+                        g,
+                    ),
+                    gs,
+                )
 
             if self.clip_grad:  # 0 disables clipping (reference flag help)
                 grads = clip_gradients_per_param(grads, self.clip_grad)
-            # cancel last-layer grads while cancel_last (traced 0/1 scalar)
-            grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: jnp.where(
-                    cancel_last
-                    & jnp.asarray(
-                        any(
-                            "last_layer" in str(
-                                p.key if hasattr(p, "key") else p
-                            )
-                            for p in path
-                        )
-                    ),
-                    jnp.zeros_like(g),
-                    g,
-                ),
-                grads,
-            )
+            grads = cancel(grads)
 
             if self.optimizer in ("sgd", "lars"):
                 # torch folds L2 decay into the gradient before the momentum
@@ -293,6 +338,11 @@ class DINOTrainer:
                     lambda g, p: g + wd * p if p.ndim > 1 else g,
                     grads, state.student,
                 )
+                # Re-cancel after the fold: torch sets grad=None, so a
+                # frozen last layer feeds NOTHING into the momentum/trust
+                # buffers — without this, wd·p would accumulate there during
+                # the freeze epochs and skew the first unfrozen steps.
+                grads = cancel(grads)
 
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.student)
@@ -302,11 +352,12 @@ class DINOTrainer:
                 names = [str(pp.key if hasattr(pp, "key") else pp)
                          for pp in path]
                 new = p + lr * u  # updates already carry −1 scale
-                # AdamW decoupled decay skips biases/norm scales (DINO
-                # get_params_groups, reference dino_adapter/utils.py:648-659);
-                # sgd/lars already folded wd into the gradient above.
-                if self.optimizer == "adamw" and names[-1] not in ("bias",
-                                                                   "scale"):
+                # AdamW decoupled decay skips every 1-d param (DINO
+                # get_params_groups exempts biases AND anything with
+                # ndim ≤ 1 — incl. last_layer_g, cls_token scalars —
+                # reference dino_adapter/utils.py:648-659); sgd/lars already
+                # folded wd into the gradient above.
+                if self.optimizer == "adamw" and p.ndim > 1:
                     new = new - lr * wd * p
                 if any("last_layer" in n for n in names):
                     # Cancelled last layer is skipped entirely — torch sets
@@ -324,7 +375,7 @@ class DINOTrainer:
             )
             return (
                 DINOState(new_student, new_teacher, new_center, opt_state,
-                          state.step + 1),
+                          state.step + 1, new_bn),
                 loss,
             )
 
@@ -338,8 +389,14 @@ class DINOTrainer:
     def eval_loss(self, state: DINOState, globals_, locals_, teacher_temp
                   ) -> float:
         """Deterministic DINO loss on held-out crops (the reference's
-        per-epoch validation pass, main_dino_adapter.py:567-594)."""
-        s_out = self.forward_views(state.student, globals_, locals_, True)
-        t_out = self.forward_views(state.teacher, globals_, locals_[:0], True)
+        per-epoch validation pass, main_dino_adapter.py:567-594); head BN
+        (if any) uses the running averages."""
+        bn = state.bn_stats or {"student": {}, "teacher": {}}
+        s_out, _ = self.forward_views_bn(
+            state.student, bn["student"], globals_, locals_, True
+        )
+        t_out, _ = self.forward_views_bn(
+            state.teacher, bn["teacher"], globals_, locals_[:0], True
+        )
         loss, _ = self.dino_loss(s_out, t_out, state.center, teacher_temp)
         return float(loss)

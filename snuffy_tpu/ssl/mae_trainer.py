@@ -118,11 +118,18 @@ class MAETrainer:
         return MAEState(params, self.tx.init(params),
                         jnp.asarray(0, jnp.int32))
 
-    def make_step(self):
-        mask = None
+    def _to_model_dtype(self, images):
+        """uint8 batches normalize ON DEVICE (uint8 is the host→device
+        contract everywhere else — 4× less PCIe/relay traffic than f32
+        pixels); float inputs are assumed already in [0, 1]."""
+        target = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        if jnp.issubdtype(jnp.asarray(images).dtype, jnp.integer):
+            return images.astype(target) / 255.0
+        return images.astype(target) if self.use_bf16 else images
 
+    def make_step(self):
         def step(state: MAEState, images, lr, rng):
-            imgs = images.astype(jnp.bfloat16) if self.use_bf16 else images
+            imgs = self._to_model_dtype(images)
 
             def loss_fn(params):
                 loss, _, _ = self.model.apply(
@@ -151,7 +158,8 @@ class MAETrainer:
 
     def eval_loss(self, state: MAEState, images, rng) -> float:
         loss, _, _ = self.model.apply(
-            {"params": state.params}, images, self.mask_ratio, True,
+            {"params": state.params}, self._to_model_dtype(jnp.asarray(images)),
+            self.mask_ratio, True,
             rngs={"masking": rng},
         )
         return float(loss)

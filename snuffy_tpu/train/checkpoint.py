@@ -89,6 +89,11 @@ class ShardedCheckpointManager:
                 max_to_keep=max_to_keep,
                 best_fn=best_fn,
                 best_mode=best_mode,
+                # With a best_fn configured, orbax defaults to keeping every
+                # step saved without metrics — save(step, state) calls with
+                # metrics=None would then never be garbage-collected and the
+                # directory grows without bound.
+                keep_checkpoints_without_metrics=False,
                 create=True,
             ),
         )

@@ -189,14 +189,15 @@ class Runner:
             scores, labels_arr, 0.5, n_bins=self.cfg.bins, logits=False
         )
 
-        # ROC curve dump (reference train.py:365-372).
-        if self.cfg.roc_run_name and self.cfg.roc_data_split in prefix:
+        # ROC curve dump. The reference's gate is the derived
+        # `for_roc_curve = roc_run_name is not None and roc_run_epoch is not
+        # None` (reference train.py:365-372, 985-990) — BOTH flags required,
+        # and the file is named after --roc_run_epoch, not the live epoch.
+        if self.cfg.for_roc_curve and self.cfg.roc_data_split in prefix:
             roc_dir = os.path.join(self.cfg.roc_path, self.cfg.roc_run_name)
             os.makedirs(roc_dir, exist_ok=True)
             np.savez(
-                os.path.join(
-                    roc_dir, f"{self.cfg.roc_run_epoch or epoch}.npz"
-                ),
+                os.path.join(roc_dir, f"{self.cfg.roc_run_epoch}.npz"),
                 labels=labels_arr,
                 predictions=scores,
             )

@@ -31,10 +31,13 @@ def scores_to_grid(
     positions: Sequence[Tuple[int, int]],
     scores: np.ndarray,
     grid_shape: Optional[Tuple[int, int]] = None,
-) -> np.ndarray:
-    """Scatter per-patch scores into a (rows, cols) float grid; empty cells
-    are 0. Scores are min-max rescaled over the occupied cells (reference
-    roi.py:246-258 rescales instance logits to a color map)."""
+    return_occupancy: bool = False,
+):
+    """Scatter per-patch scores into a (rows, cols) float grid. Scores are
+    min-max rescaled over the occupied cells (reference roi.py:246-258
+    rescales instance logits to a color map). Empty cells hold 0, which is
+    NOT a score — pass `return_occupancy=True` to also get the (rows, cols)
+    bool occupancy mask (the reference overlays only occupied tiles)."""
     scores = np.asarray(scores, np.float64).reshape(-1)
     if grid_shape is None:
         rows = max(r for _, r in positions) + 1
@@ -49,6 +52,8 @@ def scores_to_grid(
         if 0 <= row < rows and 0 <= col < cols:
             grid[row, col] = v
             occ[row, col] = True
+    if return_occupancy:
+        return grid, occ
     return grid
 
 
@@ -68,8 +73,13 @@ def blend_heatmap(
     contour: Optional[np.ndarray] = None,   # (H, W) bool
     alpha: float = 0.5,
     colormap: str = "jet",
+    occupancy: Optional[np.ndarray] = None,  # (rows, cols) bool
 ) -> np.ndarray:
-    """Colormapped score grid resized onto the thumbnail → RGB uint8."""
+    """Colormapped score grid resized onto the thumbnail → RGB uint8.
+
+    Cells without any patch (background / filtered tiles) stay the bare
+    grayscale slide instead of being painted as score-0 "cold" — the
+    reference overlays only occupied tiles (roi.py:246-258)."""
     import cv2
     import matplotlib
 
@@ -82,6 +92,10 @@ def blend_heatmap(
     heat_rgb = (rgba[..., :3] * 255).astype(np.uint8)
     base = np.stack([slide_gray] * 3, axis=-1).astype(np.float32)
     out = (1 - alpha) * base + alpha * heat_rgb.astype(np.float32)
+    if occupancy is not None:
+        occ_px = cv2.resize(occupancy.astype(np.uint8), (w, h),
+                            interpolation=cv2.INTER_NEAREST).astype(bool)
+        out = np.where(occ_px[..., None], out, base)
     out = out.astype(np.uint8)
     if contour is not None:
         out[contour] = (0, 255, 0)
@@ -103,11 +117,11 @@ def visualize_attentions(
     import matplotlib.pyplot as plt
 
     positions = parse_positions(position_strings)
-    grid = scores_to_grid(positions, scores)
+    grid, occ = scores_to_grid(positions, scores, return_occupancy=True)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     if slide_gray is not None:
         contour = mask_contour(tumor_mask) if tumor_mask is not None else None
-        img = blend_heatmap(slide_gray, grid, contour)
+        img = blend_heatmap(slide_gray, grid, contour, occupancy=occ)
         plt.imsave(out_path, img)
     else:
         plt.imsave(out_path, grid, cmap="jet")

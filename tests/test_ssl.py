@@ -272,3 +272,87 @@ def test_truncate_log_past_epoch(tmp_path):
     # idempotent + missing file is a no-op
     assert truncate_log_past_epoch(str(p), 2) == 0
     assert truncate_log_past_epoch(str(tmp_path / "none.txt"), 2) == 0
+
+
+def test_dino_use_bn_in_head():
+    """--use_bn_in_head (reference main_dino_adapter.py:91 + DINOHead BN
+    layers, vision_transformer_with_adapter.py:289-294): BN params train,
+    running stats update on the train step, eval uses running averages."""
+    trainer = DINOTrainer(
+        tiny_backbone(), out_dim=32, n_local_crops=2,
+        local_size=16, global_size=32, freeze_backbone=True,
+        head_hidden_dim=32, head_bottleneck_dim=16, use_bn_in_head=True,
+    )
+    state = trainer.init_state(0)
+    assert set(state.bn_stats["student"]) == {"bn_0", "bn_1"}
+    assert np.allclose(
+        np.asarray(state.bn_stats["student"]["bn_0"]["mean"]), 0.0
+    )
+    step = trainer.get_step()
+    rng = np.random.default_rng(3)
+    globals_ = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 3)), jnp.float32)
+    locals_ = jnp.asarray(rng.normal(size=(2, 2, 16, 16, 3)), jnp.float32)
+    state2, loss = step(
+        state, globals_, locals_,
+        jnp.asarray(1e-3), jnp.asarray(0.04), jnp.asarray(0.99),
+        jnp.asarray(0.04), jnp.asarray(False), jax.random.PRNGKey(4),
+    )
+    assert np.isfinite(float(loss))
+    # both student AND teacher running stats moved (torch modules left in
+    # train mode update running stats on every forward)
+    for net in ("student", "teacher"):
+        assert not np.allclose(
+            np.asarray(state2.bn_stats[net]["bn_0"]["mean"]), 0.0
+        ), net
+    assert np.isfinite(trainer.eval_loss(state2, globals_, locals_, 0.04))
+
+
+def test_dino_adamw_decay_exempts_1d_params():
+    """get_params_groups exempts every 1-d param from weight decay
+    (reference dino_adapter/utils.py:648-659): with norm_last_layer=False,
+    last_layer_g and biases must take identical steps at wd=0 and wd=10,
+    while 2-d head kernels must not."""
+    def run(wd):
+        trainer = DINOTrainer(
+            tiny_backbone(), out_dim=32, n_local_crops=2,
+            local_size=16, global_size=32, freeze_backbone=True,
+            head_hidden_dim=32, head_bottleneck_dim=16,
+            norm_last_layer=False,
+        )
+        state = trainer.init_state(0)
+        step = trainer.get_step()
+        rng = np.random.default_rng(5)
+        globals_ = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 3)), jnp.float32)
+        locals_ = jnp.asarray(rng.normal(size=(2, 2, 16, 16, 3)), jnp.float32)
+        state2, _ = step(
+            state, globals_, locals_,
+            jnp.asarray(1e-2), jnp.asarray(wd), jnp.asarray(0.99),
+            jnp.asarray(0.04), jnp.asarray(False), jax.random.PRNGKey(6),
+        )
+        return _flat(state2.student)
+
+    a, b = run(0.0), run(10.0)
+    np.testing.assert_allclose(a["head/last_layer_g"], b["head/last_layer_g"])
+    np.testing.assert_allclose(a["head/mlp_0/bias"], b["head/mlp_0/bias"])
+    assert not np.allclose(a["head/mlp_0/kernel"], b["head/mlp_0/kernel"])
+
+
+def test_mae_step_accepts_uint8():
+    """uint8 batches are the host→device contract; the step normalizes on
+    device and must match the prescaled float path exactly."""
+    model = MaskedAutoencoderViT(
+        img_size=32, patch_size=8, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2.0, use_adapter=True, adapter_bottleneck=4,
+    )
+    trainer = MAETrainer(model, mask_ratio=0.5, use_bf16=False)
+    state = trainer.init_state(0)
+    step = trainer.get_step()
+    imgs = np.random.default_rng(7).integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    s_u8, loss_u8 = step(state, jnp.asarray(imgs), jnp.asarray(1e-3),
+                         jax.random.PRNGKey(8))
+    state2 = trainer.init_state(0)
+    s_f, loss_f = step(state2, jnp.asarray(imgs, jnp.float32) / 255.0,
+                       jnp.asarray(1e-3), jax.random.PRNGKey(8))
+    np.testing.assert_allclose(float(loss_u8), float(loss_f), rtol=1e-6)
+    assert np.isfinite(trainer.eval_loss(s_u8, imgs, jax.random.PRNGKey(9)))

@@ -89,3 +89,108 @@ def test_mae_cli_smoke(tmp_path, tiny_mae_factory):
     best = [f for f in os.listdir(str(tmp_path / "out"))
             if f.startswith("checkpoint-best-")]
     assert len(best) == 1  # previous best deleted
+
+
+def test_bool_flag_parsing():
+    """type=bool maps '--flag False' to True; bool_flag must not (reference
+    dino_adapter/utils.py:206-218)."""
+    import main_dino_adapter as dino_cli
+    import main_pretrain_adapter as mae_cli
+
+    args = dino_cli.get_args_parser().parse_args(
+        ["--norm_last_layer", "False", "--use_adapter", "false",
+         "--use_bn_in_head", "true"]
+    )
+    assert args.norm_last_layer is False
+    assert args.use_adapter is False
+    assert args.use_bn_in_head is True
+    args = mae_cli.get_args_parser().parse_args(["--use_adapter", "0"])
+    assert args.use_adapter is False
+    with pytest.raises(SystemExit):
+        dino_cli.get_args_parser().parse_args(["--norm_last_layer", "maybe"])
+
+
+def test_dino_cli_resume_restores_opt_state(tmp_path, tiny_vit_factories):
+    """Resume restores model + optimizer + BN state (reference
+    restart_from_checkpoint, dino_adapter/utils.py:157-189): the Adam
+    moments in the rolling checkpoint round-trip bit-exactly and a second
+    invocation continues from the stored epoch."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    import main_dino_adapter as cli
+
+    data = str(tmp_path / "imgs")
+    _make_image_folder(data)
+    argv = [
+        "--arch=vit_tiny", "--batch_size_per_gpu=4",
+        f"--data_path={data}", f"--output_dir={tmp_path}/out",
+        "--num_workers=0", "--img_size=32", "--global_size=32",
+        "--local_size=16", "--local_crops_number=2", "--out_dim=32",
+        "--warmup_epochs=1", "--max_steps_per_epoch=2",
+    ]
+    state1 = cli.train_dino(
+        cli.get_args_parser().parse_args(argv + ["--epochs=2"])
+    )
+
+    template = {
+        "student": state1.student, "teacher": state1.teacher,
+        "center": state1.center, "step": state1.step,
+        "opt_state": state1.opt_state, "bn_stats": state1.bn_stats,
+        "epoch": 0,
+    }
+    with open(str(tmp_path / "out" / "checkpoint.msgpack"), "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    assert payload["epoch"] == 1
+    restored = jax.tree_util.tree_leaves(payload["opt_state"])
+    live = jax.tree_util.tree_leaves(state1.opt_state)
+    assert any(np.any(np.asarray(l) != 0) for l in live), "moments all zero"
+    for r, l in zip(restored, live):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(l))
+
+    # second invocation resumes at epoch 2 and trains one more epoch
+    state2 = cli.train_dino(
+        cli.get_args_parser().parse_args(argv + ["--epochs=3"])
+    )
+    assert int(np.asarray(state2.step)) == 6  # 3 epochs × 2 steps
+    import json
+    log = [json.loads(l) for l in
+           open(str(tmp_path / "out" / "log.txt")).read().strip().splitlines()]
+    assert [r["epoch"] for r in log] == [0, 1, 2]
+
+
+def test_mae_cli_resume_restores_opt_state(tmp_path, tiny_mae_factory):
+    """Resume restores params + optimizer state (reference
+    mae_adapter/util/misc.py:317-333)."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    import main_pretrain_adapter as cli
+
+    data = str(tmp_path / "imgs")
+    _make_image_folder(data)
+    argv = [
+        "--model=mae_vit_base_patch16", "--batch_size=4",
+        f"--data_path={data}", f"--output_dir={tmp_path}/out",
+        "--num_workers=0", "--input_size=32", "--warmup_epochs=1",
+        "--max_steps_per_epoch=2",
+    ]
+    state1 = cli.train_mae(
+        cli.get_args_parser().parse_args(argv + ["--epochs=2"])
+    )
+    template = {"params": state1.params, "opt_state": state1.opt_state,
+                "step": state1.step, "epoch": 0}
+    with open(str(tmp_path / "out" / "checkpoint.msgpack"), "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    assert payload["epoch"] == 1
+    live = jax.tree_util.tree_leaves(state1.opt_state)
+    assert any(np.any(np.asarray(l) != 0) for l in live)
+    for r, l in zip(jax.tree_util.tree_leaves(payload["opt_state"]), live):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(l))
+
+    state2 = cli.train_mae(
+        cli.get_args_parser().parse_args(argv + ["--epochs=3"])
+    )
+    assert int(np.asarray(state2.step)) == 6
