@@ -48,7 +48,9 @@ def get_args_parser():
                              "TPU-native fast path (embeddings emit f32)")
     parser.add_argument("--transform", default=0, type=int,
                         help="1 → ImageNet normalization")
-    parser.add_argument("--droped", default=0, type=int)
+    parser.add_argument("--droped", default=0, type=int,
+                        help="non-zero skips writing the [bag_path,label] "
+                             "CSV tree (reference compute_feats.py:573)")
     parser.add_argument("--norm_pix_loss", default=0)
     parser.add_argument("--datasets_path", default="datasets", type=str)
     parser.add_argument("--embeddings_path", default="embeddings", type=str)
@@ -97,7 +99,11 @@ def build_and_load_embedder(args):
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
     validate_args(args)
-    from snuffy_tpu.embed.pipeline import extract_dataset, write_dataset_csv
+    from snuffy_tpu.embed.pipeline import (
+        extract_dataset,
+        save_class_features,
+        write_dataset_csv,
+    )
 
     embedder = build_and_load_embedder(args)
 
@@ -152,7 +158,13 @@ def main(argv=None):
         imagenet_norm=bool(args.transform),
         num_workers=args.num_workers if args.num_workers > 0 else 0,
     )
-    write_dataset_csv(os.path.join(out_dir, f"{args.dataset}.csv"), rows)
+    # Full artifact tree: per-split per-class CSVs + shuffled dataset CSV,
+    # gated on --droped (reference compute_feats.py:548-587). Fold layouts
+    # without split/class nesting fall back to the flat dataset CSV.
+    all_df = save_class_features(out_dir, f"{args.dataset}.csv",
+                                 droped=args.droped, seed=0)
+    if all_df is None and args.droped == 0:
+        write_dataset_csv(os.path.join(out_dir, f"{args.dataset}.csv"), rows)
     print(f"extracted {len(rows)} bags → {out_dir}")
     return rows
 

@@ -19,8 +19,15 @@ import os
 def get_args_parser():
     p = argparse.ArgumentParser(description="Patch extraction for camelyon16")
     p.add_argument("-d", "--dataset", type=str, default="camelyon16")
-    p.add_argument("-e", "--overlap", type=int, default=0)
-    p.add_argument("-f", "--format", type=str, default="jpeg")
+    p.add_argument("-e", "--overlap", type=int, default=0,
+                   help="Overlap of adjacent tiles [0]")
+    p.add_argument("-f", "--format", type=str, default="jpeg",
+                   choices=["jpeg", "png"])
+    p.add_argument("-m", "--magnifications", type=int, nargs="+",
+                   default=(0,),
+                   help="levels below base_mag to tile; two levels build "
+                        "the nested-bag pyramid (reference "
+                        "deepzoom_tiler_camelyon16.py:256-295)")
     p.add_argument("-v", "--slide_format", type=str, default="tif")
     p.add_argument("-j", "--workers", type=int, default=8)
     p.add_argument("-q", "--quality", type=int, default=75)
@@ -37,7 +44,7 @@ def main(argv=None):
     from snuffy_tpu.tiling.deepzoom import (
         TilerConfig,
         append_tile_labels,
-        tile_slide,
+        tile_slide_nested,
     )
 
     cfg = TilerConfig(
@@ -48,6 +55,8 @@ def main(argv=None):
         base_mag=args.base_mag,
         workers=args.workers,
         name_with_level=True,
+        overlap=args.overlap,
+        image_format=args.format,
     )
     base = os.path.join(args.datasets_path, args.dataset)
     out_base = os.path.join(base, "single")
@@ -62,9 +71,10 @@ def main(argv=None):
         slide = os.path.splitext(os.path.basename(slide_path))[0]
         out_dir = os.path.join(out_base, cls, slide)
         xml = os.path.join(base, "annotations", f"{slide}.xml")
-        kept = tile_slide(
+        kept = tile_slide_nested(
             slide_path, out_dir, cfg,
             annotation_xml=xml if cls == "1_tumor" else None,
+            mag_levels=tuple(args.magnifications),
         )
         append_tile_labels(tile_label_csv, slide, kept)
         print(f"{slide}: kept {len(kept)} tiles")

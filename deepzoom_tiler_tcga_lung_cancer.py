@@ -16,8 +16,10 @@ import os
 def get_args_parser():
     p = argparse.ArgumentParser(description="Patch extraction for TCGA lung")
     p.add_argument("-d", "--dataset", type=str, default="tcga")
-    p.add_argument("-e", "--overlap", type=int, default=0)
-    p.add_argument("-f", "--format", type=str, default="jpeg")
+    p.add_argument("-e", "--overlap", type=int, default=0,
+                   help="Overlap of adjacent tiles [0]")
+    p.add_argument("-f", "--format", type=str, default="jpeg",
+                   choices=["jpeg", "png"])
     p.add_argument("-v", "--slide_format", type=str, default="svs")
     p.add_argument("-j", "--workers", type=int, default=8)
     p.add_argument("-q", "--quality", type=int, default=75)
@@ -41,6 +43,8 @@ def main(argv=None):
         base_mag=args.base_mag,
         workers=args.workers,
         name_with_level=False,
+        overlap=args.overlap,
+        image_format=args.format,
     )
     base = os.path.join(args.datasets_path, args.dataset)
     out_base = os.path.join(base, "single")

@@ -148,6 +148,47 @@ def write_dataset_csv(out_csv: str, rows: List[Tuple[str, int]]):
     pd.DataFrame(rows, columns=["0", "1"]).to_csv(out_csv, index=False)
 
 
+def save_class_features(out_dir: str, dataset_csv_name: str,
+                        droped: int = 0, seed: int = 0):
+    """The reference's full artifact tree (compute_feats.py:548-587):
+
+      * one `[bag_path, label]` CSV per (split, class) at
+        `<out_dir>/<split>/<class>.csv`, class numbers from the globally
+        sorted class-name list;
+      * the SHUFFLED dataset-level CSV at `<out_dir>/<dataset>.csv`
+        (the reference shuffles with sklearn.utils.shuffle; here the
+        shuffle is seeded so extraction runs are reproducible);
+      * `droped != 0` writes NOTHING — the reference gates the whole
+        function on `args.droped == 0`.
+
+    Returns the shuffled dataset DataFrame, or None when gated off / no
+    split/class layout exists under out_dir."""
+    if droped != 0:
+        return None
+    split_class_dirs = sorted(
+        glob.glob(os.path.join(out_dir, "*", "*" + os.sep))
+    )
+    split_class_dirs = [d for d in split_class_dirs if os.path.isdir(d)]
+    if not split_class_dirs:
+        return None
+    classes = sorted(
+        {d.rstrip(os.sep).split(os.sep)[-1] for d in split_class_dirs}
+    )
+    dfs = []
+    for d in split_class_dirs:
+        bag_csvs = sorted(glob.glob(os.path.join(d, "*.csv")))
+        split_name, class_name = d.rstrip(os.sep).split(os.sep)[-2:]
+        df = pd.DataFrame(bag_csvs)
+        df["label"] = classes.index(class_name)
+        df.to_csv(os.path.join(out_dir, split_name, class_name + ".csv"),
+                  index=False)
+        dfs.append(df)
+    all_df = pd.concat(dfs, axis=0, ignore_index=True)
+    all_df = all_df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    all_df.to_csv(os.path.join(out_dir, dataset_csv_name), index=False)
+    return all_df
+
+
 def extract_dataset(
     embedder,
     dataset_path: str,

@@ -50,6 +50,13 @@ class TilerConfig:
     workers: int = 4
     name_with_level: bool = True  # camelyon16 `{col}_{row}-{level}.jpeg`
     tumor_coverage: float = 0.0   # patch labeled tumor if overlap > this
+    # DeepZoomGenerator-style tile overlap (reference
+    # deepzoom_tiler_camelyon16.py:305 `-e/--overlap`): the grid still steps
+    # by tile_size, but each tile gains `overlap` extra pixels on every side
+    # that abuts another tile — interior tiles are (tile+2·overlap)².
+    overlap: int = 0
+    # 'jpeg' or 'png' (reference `-f/--format`).
+    image_format: str = "jpeg"
 
 
 def edge_energy(tile: np.ndarray) -> float:
@@ -123,23 +130,49 @@ def _init_worker(slide_path, mask_info=None):
     _worker_state["mask_info"] = mask_info
 
 
+def _write_tile(path: str, region: np.ndarray, quality: int, fmt: str):
+    if fmt == "jpeg":
+        from snuffy_tpu.native import jpeg_write
+
+        jpeg_write(path, region, quality)
+    else:  # png (or anything PIL encodes)
+        from PIL import Image
+
+        Image.fromarray(region).save(path)
+
+
 def _tile_one(args):
     (col, row, level, read, tile, out_path, threshold,
-     name_with_level, quality, tumor_coverage, dz_level) = args
+     name_with_level, quality, tumor_coverage, dz_level, overlap, fmt,
+     cols, rows) = args
     mask_info = _worker_state.get("mask_info")
     import cv2
 
-    from snuffy_tpu.native import jpeg_write
-
     slide = _worker_state["slide"]
-    region = slide.read_region(level, col * read, row * read, read, read)
-    if read != tile:
-        region = cv2.resize(region, (tile, tile), interpolation=cv2.INTER_AREA)
+    # Overlap extends the read window on every side that has a neighbour
+    # (DeepZoomGenerator semantics); the scale between stored-level pixels
+    # and output pixels is read/tile.
+    scale = read / tile
+    ov_l = int(round(overlap * scale)) if col > 0 else 0
+    ov_t = int(round(overlap * scale)) if row > 0 else 0
+    ov_r = int(round(overlap * scale)) if col < cols - 1 else 0
+    ov_b = int(round(overlap * scale)) if row < rows - 1 else 0
+    x0 = col * read - ov_l
+    y0 = row * read - ov_t
+    w = read + ov_l + ov_r
+    h = read + ov_t + ov_b
+    region = slide.read_region(level, x0, y0, w, h)
+    out_w = tile + (overlap if col > 0 else 0) + (overlap if col < cols - 1 else 0)
+    out_h = tile + (overlap if row > 0 else 0) + (overlap if row < rows - 1 else 0)
+    if region.shape[:2] != (out_h, out_w):
+        region = cv2.resize(region, (out_w, out_h),
+                            interpolation=cv2.INTER_AREA)
     if edge_energy(region) <= threshold:
         return None  # background
-    name = (f"{col}_{row}-{dz_level}.jpeg" if name_with_level
-            else f"{col}_{row}.jpeg")
-    jpeg_write(os.path.join(out_path, name), region, quality)
+    ext = "jpeg" if fmt == "jpeg" else fmt
+    name = (f"{col}_{row}-{dz_level}.{ext}" if name_with_level
+            else f"{col}_{row}.{ext}")
+    _write_tile(os.path.join(out_path, name), region, quality, fmt)
 
     label = None
     if mask_info is not None:
@@ -161,14 +194,17 @@ def tile_slide(
     out_dir: str,
     cfg: TilerConfig,
     annotation_xml: Optional[str] = None,
+    mag_level: int = 0,
 ) -> List[Tuple[int, int, Optional[int]]]:
     """Tile one slide into out_dir. Returns kept (col, row, label) tuples
-    (label None when no annotations)."""
+    (label None when no annotations). `mag_level` counts halvings below
+    base_mag (the reference's per-magnification deepzoom levels,
+    deepzoom_tiler_camelyon16.py:152-159)."""
     from snuffy_tpu.native import NativeSlide
 
     os.makedirs(out_dir, exist_ok=True)
     slide = NativeSlide(slide_path)
-    target_down = cfg.objective_power / cfg.base_mag
+    target_down = cfg.objective_power / cfg.base_mag * (2 ** mag_level)
     level, residual = pick_read_level(slide, target_down)
     read, cols, rows = _grid(slide, level, residual, cfg.tile_size)
     level_down = slide.level_downsample(level)
@@ -195,7 +231,8 @@ def tile_slide(
     # O(tiles × mask_bytes) of IPC.
     jobs = [
         (c, r, level, read, cfg.tile_size, out_dir, cfg.background_threshold,
-         cfg.name_with_level, cfg.quality, cfg.tumor_coverage, dz_level)
+         cfg.name_with_level, cfg.quality, cfg.tumor_coverage, dz_level,
+         cfg.overlap, cfg.image_format, cols, rows)
         for r in range(rows)
         for c in range(cols)
     ]
@@ -209,6 +246,69 @@ def tile_slide(
         _worker_state["slide"].close()
         _worker_state.clear()
     return [r for r in results if r is not None]
+
+
+def tile_slide_nested(
+    slide_path: str,
+    out_dir: str,
+    cfg: TilerConfig,
+    annotation_xml: Optional[str] = None,
+    mag_levels: Sequence[int] = (0,),
+) -> List[Tuple[int, int, Optional[int]]]:
+    """Multi-magnification tiling into one bag directory (the reference's
+    `nested_patches` 2-level pyramid mode, deepzoom_tiler_camelyon16.py:
+    256-295): the LOW-magnification patches sit at the bag root and each
+    low patch `{c}_{r}-{lvl}` owns a folder of the `(2^Δ)²` high-mag
+    patches it covers. (The reference's own implementation of this branch
+    is dead code — its cleanup `os.rmdir` on a populated folder and
+    `os.remove` of an already-moved file both raise — so this reproduces
+    the organizing intent, which is the DSMIL nested-bag layout it was
+    derived from.)
+
+    With one level this is exactly `tile_slide`. Returns the kept tuples of
+    the FINEST level (whose labels feed tile_label.csv)."""
+    if len(mag_levels) == 1:
+        return tile_slide(slide_path, out_dir, cfg, annotation_xml,
+                          mag_level=mag_levels[0])
+    if len(mag_levels) != 2:
+        raise ValueError("nested tiling supports 1 or 2 magnification levels")
+    lo, hi = max(mag_levels), min(mag_levels)  # lo = more downsampled
+    factor = 2 ** (lo - hi)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        hi_dir = os.path.join(tmp, "hi")
+        kept_hi = tile_slide(slide_path, hi_dir, cfg, annotation_xml,
+                             mag_level=hi)
+        kept_lo = tile_slide(slide_path, out_dir, cfg, None, mag_level=lo)
+        import shutil
+
+        hi_names = {}  # (col, row) -> filename
+        for f in os.listdir(hi_dir):
+            stem = f.split(".")[0].split("-")[0]
+            c, r = stem.split("_")
+            hi_names[(int(c), int(r))] = f
+        for col, row, _ in kept_lo:
+            sub = None
+            for dc in range(factor):
+                for dr in range(factor):
+                    key = (col * factor + dc, row * factor + dr)
+                    if key in hi_names:
+                        if sub is None:
+                            # folder named after the low patch's stem
+                            low_name = [
+                                f for f in os.listdir(out_dir)
+                                if f.split(".")[0].split("-")[0]
+                                == f"{col}_{row}"
+                                and os.path.isfile(os.path.join(out_dir, f))
+                            ]
+                            stem = low_name[0].split(".")[0]
+                            sub = os.path.join(out_dir, stem)
+                            os.makedirs(sub, exist_ok=True)
+                        fname = hi_names.pop(key)
+                        shutil.move(os.path.join(hi_dir, fname),
+                                    os.path.join(sub, fname))
+    return kept_hi
 
 
 def append_tile_labels(

@@ -305,3 +305,42 @@ def test_embedder_bf16_close_to_f32_all_families():
             np.linalg.norm(f32) * np.linalg.norm(f16) + 1e-9
         )
         assert cos > 0.99, (kw["embedder"], cos)
+
+
+def test_save_class_features_artifact_tree(tmp_path):
+    """Reference compute_feats.py:548-587: one [bag_path,label] CSV per
+    (split, class), class ids from the global sorted class list, plus the
+    shuffled dataset CSV; --droped non-zero writes nothing."""
+    import pandas as pd
+
+    from snuffy_tpu.embed.pipeline import save_class_features
+
+    out = tmp_path / "emb"
+    for split in ("train", "test"):
+        for cls in ("0_normal", "1_tumor"):
+            d = out / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                (d / f"slide_{i}.csv").write_text("0\n1\n")
+
+    all_df = save_class_features(str(out), "camelyon16.csv", droped=0)
+    assert all_df is not None and len(all_df) == 12
+    for split in ("train", "test"):
+        for cls, num in (("0_normal", 0), ("1_tumor", 1)):
+            df = pd.read_csv(out / split / f"{cls}.csv")
+            assert len(df) == 3
+            assert (df["label"] == num).all()
+            assert all(str(p).endswith(".csv") for p in df.iloc[:, 0])
+    ds = pd.read_csv(out / "camelyon16.csv")
+    assert len(ds) == 12 and set(ds["label"]) == {0, 1}
+    # shuffled: not grouped by label
+    assert list(ds["label"]) != sorted(list(ds["label"]))
+
+    # droped gate: nothing is (re)written
+    import os
+    import shutil
+
+    out2 = tmp_path / "emb2"
+    shutil.copytree(out / "train", out2 / "train")
+    assert save_class_features(str(out2), "x.csv", droped=1) is None
+    assert not (out2 / "x.csv").exists()

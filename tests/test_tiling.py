@@ -151,3 +151,82 @@ def test_dz_level_naming_uses_max_dimension(tmp_path):
     assert names, "tiler produced no tiles"
     # target downsample 2 → dz level = ceil(log2(1400)) − 1 = 10
     assert all(n.endswith("-10.jpeg") for n in names), names[:4]
+
+
+def test_tile_overlap_and_png_format(tmp_path):
+    """`-e/--overlap` and `-f/--format` are honored (reference
+    deepzoom_tiler_camelyon16.py:305: overlap rides into DeepZoomGenerator):
+    interior tiles gain `overlap` px per shared edge; png encodes via PIL."""
+    from PIL import Image
+
+    from snuffy_tpu.tiling.deepzoom import TilerConfig, tile_slide
+
+    slide_path = str(tmp_path / "s.tif")
+    make_slide(slide_path)  # 1024² with a textured block at 256..768
+    cfg = TilerConfig(
+        tile_size=256, objective_power=20, base_mag=20,
+        background_threshold=5.0, workers=0, name_with_level=False,
+        overlap=16, image_format="png",
+    )
+    out = str(tmp_path / "out")
+    tile_slide(slide_path, out, cfg)
+    names = sorted(os.listdir(out))
+    assert names and all(n.endswith(".png") for n in names)
+    sizes = {}
+    for n in names:
+        c, r = (int(x) for x in n.split(".")[0].split("_"))
+        sizes[(c, r)] = Image.open(os.path.join(out, n)).size
+    # interior tile (1,1): +16 px on all four sides of the 4×4 grid
+    assert sizes[(1, 1)] == (256 + 32, 256 + 32)
+    # tiles adjacent to the border extend only on interior edges
+    for (c, r), (w, h) in sizes.items():
+        assert w == 256 + (16 if c > 0 else 0) + (16 if c < 3 else 0)
+        assert h == 256 + (16 if r > 0 else 0) + (16 if r < 3 else 0)
+
+
+def test_overlap_zero_unchanged(tmp_path):
+    """overlap=0 must be byte-identical to the pre-overlap tiler."""
+    from PIL import Image
+
+    from snuffy_tpu.tiling.deepzoom import TilerConfig, tile_slide
+
+    slide_path = str(tmp_path / "s.tif")
+    make_slide(slide_path)
+    cfg = TilerConfig(tile_size=256, objective_power=20, base_mag=20,
+                      background_threshold=5.0, workers=0,
+                      name_with_level=False)
+    out = str(tmp_path / "out")
+    tile_slide(slide_path, out, cfg)
+    for n in os.listdir(out):
+        assert Image.open(os.path.join(out, n)).size == (256, 256)
+
+
+def test_nested_two_level_pyramid(tmp_path):
+    """2-magnification nested-bag mode (reference
+    deepzoom_tiler_camelyon16.py:256-295 intent): low-mag patches at the bag
+    root, each owning a folder of the high-mag patches it covers."""
+    from snuffy_tpu.tiling.deepzoom import TilerConfig, tile_slide_nested
+
+    slide_path = str(tmp_path / "s.tif")
+    make_slide(slide_path)
+    cfg = TilerConfig(tile_size=256, objective_power=20, base_mag=20,
+                      background_threshold=5.0, workers=0,
+                      name_with_level=True)
+    out = str(tmp_path / "bag")
+    kept_hi = tile_slide_nested(slide_path, out, cfg, mag_levels=(0, 1))
+    files = sorted(os.listdir(out))
+    low = [f for f in files if os.path.isfile(os.path.join(out, f))]
+    subs = [f for f in files if os.path.isdir(os.path.join(out, f))]
+    assert low and subs
+    # every subfolder is named after a low patch stem and holds ≤ 4 tiles
+    low_stems = {f.split(".")[0] for f in low}
+    for s in subs:
+        assert s in low_stems
+        inside = os.listdir(os.path.join(out, s))
+        assert 1 <= len(inside) <= 4
+        # high patches of low (c, r) have cols/rows in [2c, 2c+2)
+        c, r = (int(x) for x in s.split("-")[0].split("_"))
+        for f in inside:
+            hc, hr = (int(x) for x in f.split(".")[0].split("-")[0].split("_"))
+            assert hc // 2 == c and hr // 2 == r
+    assert kept_hi  # finest-level tuples feed tile_label.csv
