@@ -41,6 +41,7 @@ from typing import Callable, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from snuffy_tpu.configs import SnuffyModelConfig
 from snuffy_tpu.ops.init import get_weight_init
@@ -94,11 +95,21 @@ class FCLayer(nn.Module):
         return feats, logits
 
 
+def _sp_size(mesh: Optional[Mesh]) -> int:
+    # Lazy import: snuffy_tpu.parallel's package init imports back into the
+    # model/trainer stack.
+    from snuffy_tpu.parallel.sp_attention import sp_size
+
+    return sp_size(mesh)
+
+
 class MultiHeadedAttention(nn.Module):
     """Q/K/V/O projections around the inverted sparse attention
-    (reference snuffy.py:171-205)."""
+    (reference snuffy.py:171-205). With a mesh whose `sp` axis is >1, the
+    N-sharded q/v rows stay sharded through the sequence-parallel op."""
 
     cfg: SnuffyModelConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -130,7 +141,19 @@ class MultiHeadedAttention(nn.Module):
         if rate > 0.0 and not deterministic:
             drop_rng = self.make_rng("dropout")
 
-        if cfg.use_pallas:
+        if _sp_size(self.mesh) > 1:
+            from snuffy_tpu.parallel.sp_attention import (
+                sp_inverted_sparse_attention,
+            )
+
+            out = sp_inverted_sparse_attention(
+                q, k, v, slot_valid, q_valid, self.mesh,
+                use_pallas=cfg.use_pallas, tile_n=cfg.pallas_tile_n,
+                dropout_rate=rate if drop_rng is not None else 0.0,
+                dropout_rng=drop_rng,
+            )
+            p_attn = None
+        elif cfg.use_pallas:
             # Fused flash-style kernel: no (h, N, S) probability tensor in
             # HBM. Attention-prob dropout (the reference's bernoulli-on-p,
             # snuffy.py:167/181) runs inside the kernel from a counter-based
@@ -188,6 +211,7 @@ class EncoderLayer(nn.Module):
 
     cfg: SnuffyModelConfig
     ffn_dropout: float
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -215,10 +239,18 @@ class EncoderLayer(nn.Module):
 
         # Gather from PRE-norm x: both the key tokens and the residual branch
         # (reference snuffy.py:131,145 + SublayerConnection snuffy.py:102-108).
-        sel_tokens = jnp.take(x, sel.indices, axis=0)
+        # Under sequence parallelism the gather runs as a shard_map so the
+        # (N, d) stream is never materialized on one device.
+        sp = _sp_size(self.mesh)
+        if sp > 1:
+            from snuffy_tpu.parallel.sp_attention import sp_gather_rows
+
+            sel_tokens = sp_gather_rows(x, sel.indices, self.mesh)
+        else:
+            sel_tokens = jnp.take(x, sel.indices, axis=0)
 
         normed = nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_attn")(x)
-        attn_out, p_attn = MultiHeadedAttention(cfg, name="attn")(
+        attn_out, p_attn = MultiHeadedAttention(cfg, self.mesh, name="attn")(
             normed, sel_tokens, normed, sel.slot_valid, mask, deterministic
         )
         attn_out = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(
@@ -228,8 +260,15 @@ class EncoderLayer(nn.Module):
 
         # Scatter updated rows back; invalid slots are routed out of bounds
         # and dropped (equiv. of snuffy.py:152-155 on the valid sub-bag).
-        scatter_idx = jnp.where(sel.slot_valid, sel.indices, jnp.int32(n))
-        y = x.at[scatter_idx].set(new_sel, mode="drop")
+        if sp > 1:
+            from snuffy_tpu.parallel.sp_attention import sp_scatter_rows
+
+            y = sp_scatter_rows(
+                x, sel.indices, sel.slot_valid, new_sel, self.mesh
+            )
+        else:
+            scatter_idx = jnp.where(sel.slot_valid, sel.indices, jnp.int32(n))
+            y = x.at[scatter_idx].set(new_sel, mode="drop")
 
         ff = PositionwiseFeedForward(cfg, self.ffn_dropout, name="ff")(
             nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_ff")(y), deterministic
@@ -243,6 +282,7 @@ class Encoder(nn.Module):
 
     cfg: SnuffyModelConfig
     ffn_dropout: float
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, c, mask, deterministic):
@@ -264,7 +304,7 @@ class Encoder(nn.Module):
             layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(cfg.depth):
             x, p_attn = layer_cls(
-                cfg, self.ffn_dropout, name=f"layer_{i}"
+                cfg, self.ffn_dropout, self.mesh, name=f"layer_{i}"
             )(x, prep, mask, deterministic)
         return nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_final")(x), p_attn
 
@@ -274,12 +314,13 @@ class BClassifier(nn.Module):
 
     cfg: SnuffyModelConfig
     ffn_dropout: float
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, c, mask, deterministic):
-        enc, p_attn = Encoder(self.cfg, self.ffn_dropout, name="encoder")(
-            x, c, mask, deterministic
-        )
+        enc, p_attn = Encoder(
+            self.cfg, self.ffn_dropout, self.mesh, name="encoder"
+        )(x, c, mask, deterministic)
         # masked mean accumulates in f32 regardless of the stream dtype
         denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
         pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0,
@@ -299,6 +340,10 @@ class MILNet(nn.Module):
 
     cfg: SnuffyModelConfig
     ffn_dropout: Optional[float] = None
+    # Device mesh with an `sp` axis: shards the N (token) axis of the
+    # residual stream across devices (see parallel/sp_attention.py). None →
+    # the single-device path, bit-identical to before.
+    mesh: Optional[Mesh] = None
 
     def _ffn_dropout(self) -> float:
         if self.ffn_dropout is not None:
@@ -328,13 +373,15 @@ class MILNet(nn.Module):
             # accumulates f32 and the bag head promotes back to f32.
             feats = feats.astype(jnp.bfloat16)
         bag_logits, p_attn = BClassifier(
-            self.cfg, self._ffn_dropout(), name="b_classifier"
+            self.cfg, self._ffn_dropout(), self.mesh, name="b_classifier"
         )(feats, ins_logits, mask, deterministic)
         return ins_logits, bag_logits, p_attn
 
 
-def build_milnet(cfg: SnuffyModelConfig) -> MILNet:
-    return MILNet(cfg)
+def build_milnet(
+    cfg: SnuffyModelConfig, mesh: Optional[Mesh] = None
+) -> MILNet:
+    return MILNet(cfg, mesh=mesh)
 
 
 def init_milnet_params(cfg: SnuffyModelConfig, seed: int = 0, n_example: int = 64):

@@ -25,11 +25,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snuffy_tpu.parallel.mesh import (
+    BATCH_AXES,
     bag_batch_sharding,
     bag_mask_sharding,
     label_sharding,
     replicated,
 )
+from snuffy_tpu.parallel.sp_attention import sp_size
 from snuffy_tpu.train.losses import mixed_mil_loss
 from snuffy_tpu.train.trainer import MILTrainState, SnuffyTrainer
 
@@ -89,12 +91,26 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
 
     One optimizer step per batch of bags; grads averaged over bags (and thus
     psum'd over dp by XLA).
+
+    With sp > 1 the model routes its gather/attention/scatter through the
+    explicit shard_map ops (parallel/sp_attention.py) so the (N, d) residual
+    stream keeps a true N/sp per-device shard; the bag vmap then needs
+    `spmd_axis_name` so the batch axis stays sharded over (dcn, dp) through
+    the manual regions instead of being all-gathered.
     """
+    if sp_size(mesh) > 1:
+        from snuffy_tpu.models.snuffy import build_milnet
+
+        model = build_milnet(trainer.cfg.model, mesh=mesh)
+        vmap_kwargs = {"spmd_axis_name": BATCH_AXES}
+    else:
+        model = trainer.model
+        vmap_kwargs = {}
 
     def loss_fn(group, feats_b, masks_b, labels_b, rng):
         def one_bag(feats, mask, label, key):
             k1, k2 = jax.random.split(key)
-            ins_logits, bag_logits, _ = trainer.model.apply(
+            ins_logits, bag_logits, _ = model.apply(
                 {"params": group["model"]},
                 feats,
                 mask,
@@ -111,7 +127,9 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
             )
 
         keys = jax.random.split(rng, feats_b.shape[0])
-        losses, scores = jax.vmap(one_bag)(feats_b, masks_b, labels_b, keys)
+        losses, scores = jax.vmap(one_bag, **vmap_kwargs)(
+            feats_b, masks_b, labels_b, keys
+        )
         return jnp.mean(losses), scores
 
     def step(state: MILTrainState, feats_b, masks_b, labels_b, lr, rng):
