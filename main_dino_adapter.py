@@ -257,6 +257,20 @@ def train_dino(args):
             "wd": wd_s(it - 1),
             "epoch_time_s": time.time() - t0,
         }
+        # Multi-host: each process only saw its dcn-block's batches —
+        # count-weight the epoch means across hosts so the logged losses
+        # are global, then write from process 0 only (the reference's
+        # MetricLogger.synchronize_between_processes + is_main_process
+        # gating, dino_adapter/utils.py:229-405,449-465).
+        if jax.process_count() > 1:
+            from snuffy_tpu.parallel.distributed import is_primary
+            from snuffy_tpu.utils.metrics_sync import sync_metrics
+
+            row["n_train_batches"] = float(len(losses))
+            row = sync_metrics(row, weight_key="n_train_batches")
+            row["epoch"] = epoch
+            if not is_primary():
+                continue  # state is replicated; process 0 writes for all
         print(json.dumps(row))
         with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -199,23 +199,41 @@ def train_mae(args):
             "lr": lr_s(epoch),
             "epoch_time_s": time.time() - t0,
         }
-        print(json.dumps(row))
-        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
-            f.write(json.dumps(row) + "\n")
+        # Multi-host: count-weight the epoch means across hosts (each saw
+        # only its dcn-block) and write log/checkpoints from process 0 —
+        # the reference's misc.all_reduce_mean + save_on_master
+        # (mae_adapter/util/misc.py:29-147,251-263). sync_metrics is
+        # symmetric, so best_val below stays identical on every process.
+        if jax.process_count() > 1:
+            from snuffy_tpu.parallel.distributed import is_primary
+            from snuffy_tpu.utils.metrics_sync import sync_metrics
+
+            row["n_train_batches"] = float(len(losses))
+            row = sync_metrics(row, weight_key="n_train_batches")
+            row["epoch"] = epoch
+            val_loss = row["val_loss"]
+            primary = is_primary()
+        else:
+            primary = True
+        if primary:
+            print(json.dumps(row))
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(row) + "\n")
 
         # rolling resume checkpoint (every epoch)
         from flax import serialization
 
-        with open(rolling, "wb") as f:
-            f.write(serialization.to_bytes(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step, "epoch": epoch}
-            ))
+        if primary:
+            with open(rolling, "wb") as f:
+                f.write(serialization.to_bytes(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step, "epoch": epoch}
+                ))
 
         # best-val checkpoint with previous-best deletion
         # (reference main_pretrain_adapter.py:336-356).
         metric = val_loss if val_loss is not None else row["train_loss"]
-        if metric is not None and metric < best_val:
+        if metric is not None and metric < best_val and primary:
             from flax import serialization
 
             new_path = os.path.join(
