@@ -25,7 +25,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
         "-I/usr/include/x86_64-linux-gnu",
         _SRC, "-o", _SO, "-ltiff", "-ljpeg",
     ]
@@ -97,6 +97,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.slide_page_spacing_um.restype = ctypes.c_double
     lib.slide_page_spacing_um.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.slide_read_grid.restype = ctypes.c_int
+    lib.slide_read_grid.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -161,6 +167,26 @@ class NativeSlide:
         if rc != 0:
             raise IOError(f"slide_read_label_region failed rc={rc}")
         return out
+
+    def read_grid(self, level: int, read: int, n_cols: int, n_rows: int,
+                  row0: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode an (n_rows, n_cols) tile-grid block starting at grid row
+        `row0` in ONE native call → ((n_rows·n_cols, read, read, 3) uint8
+        tiles in row-scan order, (n_rows·n_cols,) float32 edge energies).
+        The batch path of the fused inference pipeline: per-tile JPEG
+        decode, RGBA→RGB and the background-filter Laplacian all stay in
+        C; block-wise calls overlap with async device embedding."""
+        n = n_rows * n_cols
+        tiles = np.empty((n, read, read, 3), np.uint8)
+        energy = np.empty((n,), np.float32)
+        rc = self._lib.slide_read_grid(
+            self._h, level, read, row0, n_cols, n_rows,
+            tiles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            energy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"slide_read_grid failed rc={rc}")
+        return tiles, energy
 
     def page_spacing_um(self, level: int) -> float:
         """µm/px from THAT page's resolution tags (0 when absent)."""

@@ -148,6 +148,124 @@ int slide_read_region(void* handle, int level, uint32_t x, uint32_t y,
   return 0;
 }
 
+// Mean |8-neighbour Laplacian| of the grayscale tile with reflect-101
+// borders — bit-compatible with the Python tiler's
+// cv2.filter2D(cv2.cvtColor(RGB2GRAY)) background filter
+// (tiling/deepzoom.py:62-69, reference deepzoom_tiler_camelyon16.py:81-85).
+static float tile_edge_energy(const uint8_t* rgb, uint32_t n) {
+  // Gray into an (n+2)² buffer with reflect-101 edges, so the Laplacian
+  // loops below are branch-free and auto-vectorize. Scratch is
+  // thread_local: a fresh 0.5 MB malloc per tile costs more in page
+  // faults than the arithmetic itself at 10k tiles/slide.
+  const uint32_t p = n + 2;
+  static thread_local std::vector<float> g, rs;
+  g.assign((size_t)p * p, 0.f);
+  for (uint32_t y = 0; y < n; ++y) {
+    const uint8_t* src = rgb + (size_t)y * n * 3;
+    float* dst = g.data() + (size_t)(y + 1) * p + 1;
+    for (uint32_t x = 0; x < n; ++x)
+      dst[x] = 0.299f * src[x * 3] + 0.587f * src[x * 3 + 1] +
+               0.114f * src[x * 3 + 2];
+  }
+  for (uint32_t y = 1; y <= n; ++y) {           // reflect-101 columns
+    g[(size_t)y * p] = g[(size_t)y * p + 2];
+    g[(size_t)y * p + n + 1] = g[(size_t)y * p + n - 1];
+  }
+  std::memcpy(g.data(), g.data() + 2 * (size_t)p, p * sizeof(float));
+  std::memcpy(g.data() + (size_t)(n + 1) * p,
+              g.data() + (size_t)(n - 1) * p, p * sizeof(float));
+  // |9·g − 3×3 box sum| via separable row sums: rs[x] = g[x−1]+g[x]+g[x+1].
+  rs.assign((size_t)p * p, 0.f);
+  for (uint32_t y = 0; y < p; ++y) {
+    const float* row = g.data() + (size_t)y * p;
+    float* out = rs.data() + (size_t)y * p + 1;
+    for (uint32_t x = 0; x < n; ++x)
+      out[x] = row[x] + row[x + 1] + row[x + 2];
+  }
+  double acc = 0.0;
+  for (uint32_t y = 1; y <= n; ++y) {
+    const float* a = rs.data() + (size_t)(y - 1) * p + 1;
+    const float* b = rs.data() + (size_t)y * p + 1;
+    const float* c = rs.data() + (size_t)(y + 1) * p + 1;
+    const float* gg = g.data() + (size_t)y * p + 1;
+    float racc = 0.f;
+    for (uint32_t x = 0; x < n; ++x) {
+      float s = 9.0f * gg[x] - (a[x] + b[x] + c[x]);
+      racc += s < 0 ? -s : s;
+    }
+    acc += racc;
+  }
+  return (float)(acc / ((double)n * n));
+}
+
+// Decode an aligned grid block of n_cols × n_rows tiles of side `read`
+// at `level`, starting at grid row `row0`, writing RGB tiles into `out`
+// (tile-major, row-scan order: index r*n_cols+c) and the per-tile edge
+// energy into `energy`. One call replaces n_cols·n_rows Python
+// read_region round trips in the fused inference pipeline (the
+// reference's five-stage disk pipeline has no counterpart — tiles go
+// JPEG→disk→dataloader there); block-wise calls let the Python driver
+// overlap host decode with async device embedding. Returns 0 on success.
+int slide_read_grid(void* handle, int level, uint32_t read, uint32_t row0,
+                    uint32_t n_cols, uint32_t n_rows, uint8_t* out,
+                    float* energy) {
+  auto* s = (SlideHandle*)handle;
+  if (!TIFFSetDirectory(s->tif, level)) return -1;
+  TIFF* tif = s->tif;
+  uint32_t tile_w = 0, tile_h = 0;
+  bool aligned = TIFFIsTiled(tif) &&
+                 TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tile_w) &&
+                 TIFFGetField(tif, TIFFTAG_TILELENGTH, &tile_h) &&
+                 tile_w == read && tile_h == read;
+  // 8-bit contiguous RGB (or YCbCr-JPEG, which libtiff converts when
+  // JPEGCOLORMODE_RGB is set) decodes straight into the caller's buffer
+  // top-down via TIFFReadEncodedTile — no RGBA pack, no row flip. That
+  // halves per-tile copy work vs the TIFFReadRGBATile path.
+  uint16_t spp = 0, bps = 0, planar = 0, photo = 0;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photo);
+  bool direct = aligned && spp == 3 && bps == 8 &&
+                planar == PLANARCONFIG_CONTIG &&
+                (photo == PHOTOMETRIC_RGB || photo == PHOTOMETRIC_YCBCR);
+  if (direct && photo == PHOTOMETRIC_YCBCR)
+    TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+  const size_t tile_bytes = (size_t)read * read * 3;
+  std::vector<uint32_t> rgba;
+  if (aligned && !direct) rgba.resize((size_t)read * read);
+  for (uint32_t r = 0; r < n_rows; ++r) {
+    for (uint32_t c = 0; c < n_cols; ++c) {
+      uint8_t* dst = out + ((size_t)r * n_cols + c) * tile_bytes;
+      if (direct) {
+        ttile_t t = TIFFComputeTile(tif, c * read, (row0 + r) * read, 0, 0);
+        if (TIFFReadEncodedTile(tif, t, dst, tile_bytes) < 0) return -2;
+      } else if (aligned) {
+        if (!TIFFReadRGBATile(tif, c * read, (row0 + r) * read, rgba.data()))
+          return -2;
+        // RGBA rows are bottom-up; flip + drop alpha in one pass.
+        for (uint32_t y = 0; y < read; ++y) {
+          const uint32_t* src = rgba.data() + (size_t)(read - 1 - y) * read;
+          uint8_t* row = dst + (size_t)y * read * 3;
+          for (uint32_t x = 0; x < read; ++x) {
+            uint32_t px = src[x];
+            row[x * 3 + 0] = TIFFGetR(px);
+            row[x * 3 + 1] = TIFFGetG(px);
+            row[x * 3 + 2] = TIFFGetB(px);
+          }
+        }
+      } else {
+        int rc = slide_read_region(handle, level, c * read,
+                                   (row0 + r) * read, read, read, dst);
+        if (rc != 0) return rc;
+        if (!TIFFSetDirectory(s->tif, level)) return -1;
+      }
+      energy[(size_t)r * n_cols + c] = tile_edge_energy(dst, read);
+    }
+  }
+  return 0;
+}
+
 // Label masks store the class id in the red channel; convenience single-
 // channel read (ASAP getUCharPatch equivalent).
 int slide_read_label_region(void* handle, int level, uint32_t x, uint32_t y,

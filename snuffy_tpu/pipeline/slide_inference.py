@@ -95,6 +95,17 @@ def read_slide_tiles(
     return tiles, positions
 
 
+def _grid_geometry(slide_path: str, cfg: TilerConfig):
+    from snuffy_tpu.native import NativeSlide
+
+    slide = NativeSlide(slide_path)
+    target_down = cfg.objective_power / cfg.base_mag
+    level, residual = pick_read_level(slide, target_down)
+    read = int(round(cfg.tile_size * residual))
+    lw, lh = slide.level_dimensions(level)
+    return slide, level, read, lw // read, lh // read
+
+
 def predict_slide(
     slide_path: str,
     embed_fn,                 # jitted (backbone_params, head_params, imgs)
@@ -109,16 +120,136 @@ def predict_slide(
                                   # Embedder.jit_apply(imagenet_norm=True)
     workers: int = 8,
 ) -> SlidePrediction:
+    """Fused WSI → bag-score inference.
+
+    When the native grid reader applies (aligned tiles, read == tile_size
+    == embed_size path handled by on-device resize), tiles stream in
+    row-blocks: each block's JPEG decode + background filter runs in ONE
+    C call while the PREVIOUS block's embedding executes on device (JAX
+    dispatch is async — nothing blocks until the final fence), and the
+    embeddings accumulate on device so the only device→host traffic is
+    the final score vector. Timing keys:
+
+      read_filter_s — host-side decode+filter wall time (the overlap
+                      window; device embedding hides underneath it)
+      embed_s       — embed tail: time blocked on the device AFTER the
+                      last block was decoded
+      classify_s    — Snuffy forward on the padded on-device bag
+      total_s       — true end-to-end wall time of the fused run
+    """
     import cv2
     import jax
     import jax.numpy as jnp
 
+    from snuffy_tpu import native
     from snuffy_tpu.data.bucketing import pad_bag
-    from snuffy_tpu.embed.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
     tiler_cfg = tiler_cfg or TilerConfig()
     timings = {}
+    t_start = time.perf_counter()
 
+    fast = False
+    if native.available():
+        slide, level, read, cols, rows = _grid_geometry(slide_path, tiler_cfg)
+        fast = read == tiler_cfg.tile_size
+        if not fast:
+            slide.close()
+
+    if fast:
+        # --- streaming fused path -------------------------------------
+        # The relay pays a fresh remote compile for EVERY new program
+        # shape, so the bag assembles into ONE preallocated (n_pad, D)
+        # device buffer via a single donated dynamic_update_slice program
+        # reused for all chunks — no per-chunk concat/pad programs, and
+        # the buffer IS the padded classifier input.
+        from snuffy_tpu.data.bucketing import bucket_length
+
+        block_rows = max(1, -(-embed_batch // cols))  # ≥ embed_batch tiles
+        positions: List[Tuple[int, int]] = []
+        carry: List[np.ndarray] = []   # kept, not-yet-dispatched tiles
+        n_carry = 0
+        n_done = 0
+        t_read = 0.0
+        n_pad = bucket_length(cols * rows)
+        # Over-allocate by one chunk: the final (padded) chunk writes at
+        # start = n_done ≤ n_pad without dynamic_update_slice's start
+        # clamping ever misaligning it; classify crops back to n_pad.
+        n_alloc = n_pad + embed_batch
+        feat_dim = None
+        bag_buf = None
+        write_chunk = jax.jit(
+            lambda buf, f, start: jax.lax.dynamic_update_slice(
+                buf, f.astype(buf.dtype), (start, 0)
+            ),
+            donate_argnums=(0,),
+        )
+
+        def dispatch(batch_np: np.ndarray, count: int):
+            nonlocal bag_buf, feat_dim, n_done
+            if batch_np.shape[1] != embed_size:
+                batch_np = np.stack([
+                    cv2.resize(t, (embed_size, embed_size))
+                    for t in batch_np
+                ])
+            feats, _ = embed_fn(embedder_params, embedder_head_params,
+                                jnp.asarray(batch_np))
+            if bag_buf is None:
+                feat_dim = feats.shape[-1]
+                bag_buf = jnp.zeros((n_alloc, feat_dim), jnp.float32)
+            # Rows past `count` hold padding-tile features; they land in
+            # [n_done+count, …) and are either overwritten by the next
+            # chunk or masked off (mask covers only n rows).
+            bag_buf = write_chunk(bag_buf, feats, jnp.int32(n_done))
+            n_done += count
+
+        for r0 in range(0, rows, block_rows):
+            nb = min(block_rows, rows - r0)
+            t0 = time.perf_counter()
+            tiles_blk, energy = slide.read_grid(level, read, cols, nb, r0)
+            keep = energy > tiler_cfg.background_threshold
+            t_read += time.perf_counter() - t0
+            idx = np.nonzero(keep)[0]
+            positions.extend(
+                (int(i % cols), int(r0 + i // cols)) for i in idx
+            )
+            if idx.size:
+                carry.append(tiles_blk[idx])
+                n_carry += idx.size
+            while n_carry >= embed_batch:
+                buf = np.concatenate(carry) if len(carry) > 1 else carry[0]
+                dispatch(buf[:embed_batch], embed_batch)
+                rest = buf[embed_batch:]
+                carry = [rest] if len(rest) else []
+                n_carry = len(rest)
+        if n_carry:
+            buf = np.concatenate(carry) if len(carry) > 1 else carry[0]
+            pad = np.zeros((embed_batch - n_carry,) + buf.shape[1:],
+                           np.uint8)
+            dispatch(np.concatenate([buf, pad]), n_carry)
+        slide.close()
+        timings["read_filter_s"] = t_read
+        n = n_done
+
+        t0 = time.perf_counter()
+        if bag_buf is None:
+            bag_buf = jnp.zeros((n_alloc, 1), jnp.float32)
+        np.asarray(bag_buf)   # fence: pure transfer, no program
+        timings["embed_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        mask = np.arange(n_pad) < n
+        ins_scores, bag_score = milnet_apply(
+            milnet_params, bag_buf[:n_pad], jnp.asarray(mask)
+        )
+        ins_scores = np.asarray(ins_scores)[:n]
+        bag = float(np.asarray(bag_score))
+        timings["classify_s"] = time.perf_counter() - t0
+        timings["total_s"] = time.perf_counter() - t_start
+        timings["n_patches"] = n
+        return SlidePrediction(bag, ins_scores.reshape(-1), positions,
+                               timings)
+
+    # --- fallback: per-tile reads (non-aligned residual or no native) ---
     t0 = time.perf_counter()
     tiles, positions = read_slide_tiles(slide_path, tiler_cfg, workers)
     timings["read_filter_s"] = time.perf_counter() - t0
@@ -156,7 +287,7 @@ def predict_slide(
     ins_scores = np.asarray(ins_scores)[:n]
     bag = float(np.asarray(bag_score))
     timings["classify_s"] = time.perf_counter() - t0
-    timings["total_s"] = sum(timings.values())
+    timings["total_s"] = time.perf_counter() - t_start
     timings["n_patches"] = n
 
     return SlidePrediction(bag, ins_scores.reshape(-1), positions, timings)
