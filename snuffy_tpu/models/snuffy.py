@@ -247,6 +247,11 @@ class EncoderLayer(nn.Module):
 
             sel_tokens = sp_gather_rows(x, sel.indices, self.mesh)
         else:
+            # jnp.take + at[].set are fine under vmap IN THE FULL PROGRAM:
+            # the flat-under-vmap row ops (ops/batched_rows.py) A/B'd to
+            # zero change here — the batched-mode gap is vmap-vs-scan
+            # backward fusion, not the scatters
+            # (tools/profile_batched_step.py).
             sel_tokens = jnp.take(x, sel.indices, axis=0)
 
         normed = nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_attn")(x)

@@ -27,34 +27,62 @@ pytestmark = [
 
 
 def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
-                        num_classes=1, n_proto=32, noise=0.3):
+                        num_classes=1, n_proto=32, noise=0.3,
+                        tumor_blend=0.0, tumor_frac_lo=0.04,
+                        tumor_frac_hi=0.04, distractor_frac=0.0,
+                        label_noise=0.0):
     """Planted-signal MIL bags at Camelyon16 scale with REALISTIC feature
     geometry: patches are drawn from a small set of unit prototype
     directions plus noise (real SSL embeddings are low-intrinsic-dimension
     clusters, not isotropic gaussians — the reference's torch loop NaNs at
     the recipe lr=0.02 on isotropic features but trains cleanly on
-    clustered ones; verified both ways). Positive bags carry ~4% 'tumor'
+    clustered ones; verified both ways). Positive bags carry 'tumor'
     patches from class prototypes. Consumers l2-normalize
-    (l2normed_embeddings=1)."""
+    (l2normed_embeddings=1).
+
+    Hardness knobs (VERDICT r2 next-6: target a NON-saturated regime where
+    the reference lands at AUC ≈0.8-0.9 so parity is testable two-sided):
+      tumor_blend      — mix the tumor direction toward a background
+                         prototype (0 = orthogonal fresh direction, →1 =
+                         indistinguishable from background cluster 0);
+      tumor_frac_lo/hi — per-bag tumor share drawn uniformly in this range
+                         (variable evidence → some positives are hard);
+      distractor_frac  — NEGATIVE bags carry this share of near-tumor
+                         patches (tumor direction blended 50% further in),
+                         overlapping the class-conditional score tails;
+      label_noise      — probability of flipping a bag's label (binary
+                         only; applied after generation, i.e. train AND
+                         test labels — test AUC then caps below 1).
+    """
     rng = np.random.default_rng(seed)
     protos = rng.standard_normal((n_proto, d))
     protos /= np.linalg.norm(protos, axis=1, keepdims=True)
     tumor = rng.standard_normal((max(num_classes, 1), d))
     tumor /= np.linalg.norm(tumor, axis=1, keepdims=True)
+    if tumor_blend > 0.0:
+        tumor = (1.0 - tumor_blend) * tumor + tumor_blend * protos[:1]
+        tumor /= np.linalg.norm(tumor, axis=1, keepdims=True)
+    near_tumor = 0.5 * tumor[0] + 0.5 * protos[0]
+    near_tumor /= np.linalg.norm(near_tumor)
     labels, feats = [], []
     for i in range(num_bags):
         n = int(rng.integers(n_lo, n_hi))
         which = rng.integers(0, n_proto, n)
         x = protos[which] + noise * rng.standard_normal((n, d))
+        frac = rng.uniform(tumor_frac_lo, tumor_frac_hi)
+        k = max(4, int(round(n * frac)))
         if num_classes == 1:
             y = i % 2
             if y:
-                k = max(16, n // 25)
                 x[:k] = tumor[0] + noise * rng.standard_normal((k, d))
+            elif distractor_frac > 0.0:
+                kd = max(2, int(round(n * distractor_frac)))
+                x[:kd] = near_tumor + noise * rng.standard_normal((kd, d))
+            if label_noise > 0.0 and rng.uniform() < label_noise:
+                y = 1 - y
             labels.append(float(y))
         else:
             y = i % num_classes
-            k = max(16, n // 25)
             x[:k] = tumor[y] + noise * rng.standard_normal((k, d))
             onehot = np.zeros(num_classes, np.float32)
             onehot[y] = 1.0

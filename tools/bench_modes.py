@@ -1,5 +1,12 @@
-"""Secondary throughput benchmarks (not the driver headline): batched-bags
-training mode and bag-inference throughput at Camelyon16 scale."""
+"""Secondary throughput benchmarks (not the driver headline): serial vs
+batched-bags training mode and bag-inference throughput at Camelyon16
+scale.
+
+Dispatches are PIPELINED (no host sync inside the timing loop): a
+per-step `np.asarray(loss)` costs a full ~25 ms relay RTT, which is what
+made round-2 report batched mode at 131 bags/s ("2.4× slower") — the
+device-bound numbers are ~212 batched vs ~303 serial (1.43×, the
+vmap-vs-scan backward-fusion gap; tools/profile_batched_step.py)."""
 
 import sys
 import time
@@ -36,20 +43,39 @@ def main():
     lr = jnp.asarray(2e-2, jnp.float32)
     state = trainer.init_state(0, example_n=n_pad)
 
+    # serial-scan training (reference semantics: one optimizer step per bag)
+    sf = trainer.train_bucket_fn(n_pad)
+    state_s = trainer.init_state(1, example_n=n_pad)
+    state_s, l, *_ = sf(state_s, feats, masks, labels, lr,
+                        jax.random.PRNGKey(0))
+    float(np.asarray(l).sum())
+    iters = 10
+    t0 = time.perf_counter()
+    last = None
+    for i in range(iters):
+        state_s, last, *_ = sf(state_s, feats, masks, labels, lr,
+                               jax.random.PRNGKey(i))
+    float(np.asarray(last).sum())
+    dt = time.perf_counter() - t0
+    serial_bps = B * iters / dt
+    print(f"serial-train: {serial_bps:.1f} bags/s "
+          f"({dt / iters * 1e3:.1f} ms per {B}-bag scan)", flush=True)
+
     # batched-bags training (one optimizer step per B bags)
     bf = trainer.train_bucket_batched_fn(n_pad, B)
     state, l, *_ = bf(state, feats, masks, labels, bag_w, lr,
                       jax.random.PRNGKey(0))
     float(np.asarray(l).sum())
     t0 = time.perf_counter()
-    iters = 5
     for i in range(iters):
-        state, l, *_ = bf(state, feats, masks, labels, bag_w, lr,
-                          jax.random.PRNGKey(i))
-        float(np.asarray(l).sum())
+        state, last, *_ = bf(state, feats, masks, labels, bag_w, lr,
+                             jax.random.PRNGKey(i))
+    float(np.asarray(last).sum())
     dt = time.perf_counter() - t0
-    print(f"batched-train: {B * iters / dt:.1f} bags/s "
-          f"({dt / iters * 1e3:.1f} ms per {B}-bag step)", flush=True)
+    batched_bps = B * iters / dt
+    print(f"batched-train: {batched_bps:.1f} bags/s "
+          f"({dt / iters * 1e3:.1f} ms per {B}-bag step; "
+          f"{batched_bps / serial_bps:.2f}x serial per-bag)", flush=True)
 
     # inference (vmapped eval) — B=32 bags per dispatch (serving shape:
     # a bucket's full test set in one call; B=8 is dispatch-RTT-bound)
