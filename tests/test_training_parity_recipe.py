@@ -30,7 +30,7 @@ def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
                         num_classes=1, n_proto=32, noise=0.3,
                         tumor_blend=0.0, tumor_frac_lo=0.04,
                         tumor_frac_hi=0.04, distractor_frac=0.0,
-                        label_noise=0.0):
+                        distractor_strength=0.25, label_noise=0.0):
     """Planted-signal MIL bags at Camelyon16 scale with REALISTIC feature
     geometry: patches are drawn from a small set of unit prototype
     directions plus noise (real SSL embeddings are low-intrinsic-dimension
@@ -48,8 +48,13 @@ def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
       tumor_frac_lo/hi — per-bag tumor share drawn uniformly in this range
                          (variable evidence → some positives are hard);
       distractor_frac  — NEGATIVE bags carry this share of near-tumor
-                         patches (tumor direction blended 50% further in),
-                         overlapping the class-conditional score tails;
+                         patches, overlapping the class-conditional score
+                         tails;
+      distractor_strength — tumor weight in the distractor direction
+                         (s·tumor + (1−s)·background). At s=0.5 the
+                         distractor has cos≈0.82 to real tumor — measured
+                         to collapse the task to chance (12-train-bag
+                         runs at AUC 0.48-0.58); s=0.25 → cos≈0.67;
       label_noise      — probability of flipping a bag's label (binary
                          only; applied after generation, i.e. train AND
                          test labels — test AUC then caps below 1).
@@ -62,7 +67,8 @@ def make_wsi_scale_bags(seed, num_bags, d=384, n_lo=2048, n_hi=6000,
     if tumor_blend > 0.0:
         tumor = (1.0 - tumor_blend) * tumor + tumor_blend * protos[:1]
         tumor /= np.linalg.norm(tumor, axis=1, keepdims=True)
-    near_tumor = 0.5 * tumor[0] + 0.5 * protos[0]
+    s = distractor_strength
+    near_tumor = s * tumor[0] + (1.0 - s) * protos[0]
     near_tumor /= np.linalg.norm(near_tumor)
     labels, feats = [], []
     for i in range(num_bags):
@@ -264,45 +270,112 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
     return roc_auc_score(y_true, scores[:, 0]), float(state.w)
 
 
-def test_recipe_scale_binary_parity():
-    all_labels, all_feats = make_wsi_scale_bags(11, 28, n_lo=1536, n_hi=4096)
-    train_bags = (all_labels[:12], all_feats[:12])
-    test_bags = (all_labels[12:], all_feats[12:])
+# Hardness point calibrated with tools/calibrate_recipe_bags.py so the
+# recipe lands NON-saturated (round-2's bags saturated at ours=1.0 vs
+# ref=0.875, making the parity band one-sided-only). Stochastic hardness
+# (distractors / Bernoulli label noise / strong blend) measured as a
+# learning CLIFF with giant seed variance at ≤16 train bags — see the
+# sweep history in tools/calibrate_recipe_bags.py. The calibrated design
+# keeps the geometry stably learnable (mild blend) and caps the AUC
+# ceiling VARIANCE-FREE by flipping an exact count of test labels: both
+# frameworks rank the same flipped set, a perfect ranker measures ≈0.87,
+# and a regression in either framework drops below it.
+HARD = dict(tumor_blend=0.15, tumor_frac_lo=0.025, tumor_frac_hi=0.04)
+SEEDS = (11, 12, 13)
+N_TRAIN, N_TEST_FLIPS = 16, 6
 
-    auc_ref, w_ref = train_reference_recipe(train_bags, test_bags)
-    auc_serial, w_serial = train_mine_recipe(train_bags, test_bags, 1)
-    auc_batched, _ = train_mine_recipe(train_bags, test_bags, 4)
-    print(f"\nrecipe parity: ref {auc_ref:.3f} (w={w_ref:.3f}) vs "
-          f"serial {auc_serial:.3f} (w={w_serial:.3f}) / "
-          f"batched {auc_batched:.3f}")
-    assert auc_ref > 0.8, f"reference failed to learn ({auc_ref:.3f})"
-    assert auc_serial > 0.8
-    assert auc_batched > 0.8
-    # One-sided: the rebuild must not be WORSE than the torch loop by more
-    # than the band (16 test bags → single-run AUC is noisy, and scoring
-    # higher than the reference is not a parity failure — observed runs:
-    # ref 0.875 vs serial 1.000 on identical bags). A loose upper bound
-    # still catches gross better-than-reference divergence (e.g. label
-    # leakage) without tripping on noise.
-    assert auc_serial >= auc_ref - 0.1
-    assert auc_batched >= auc_ref - 0.15  # batched relaxes serial SGD
-    assert auc_serial - auc_ref < 0.2
-    assert auc_batched - auc_ref < 0.2
+
+def flip_exact(labels, k, seed):
+    """Flip exactly k binary labels (or swap one-hot rows), seed-chosen."""
+    rng = np.random.default_rng(seed + 10_000)
+    idx = rng.choice(len(labels), k, replace=False)
+    out = list(labels)
+    for i in idx:
+        out[i] = (1.0 - np.asarray(out[i])) if np.ndim(out[i]) \
+            else 1.0 - out[i]
+    return out
+
+
+def _gen(seed, **overrides):
+    # n range spans a single padding bucket (1024) — one compile per
+    # program on the relay backend (see tools/calibrate_recipe_bags.py)
+    kw = dict(num_bags=64, n_lo=640, n_hi=1000, **HARD)
+    kw.update(overrides)
+    labels, feats = make_wsi_scale_bags(seed, **kw)
+    te_labels = flip_exact(labels[N_TRAIN:], N_TEST_FLIPS, seed)
+    return ((labels[:N_TRAIN], feats[:N_TRAIN]),
+            (te_labels, feats[N_TRAIN:]))
+
+
+_REF_CACHE: dict = {}
+
+
+def _ref_binary(seed):
+    """The torch loop takes ~10 min/seed on this rig — cache per seed
+    (bags are a pure function of seed + HARD)."""
+    if seed not in _REF_CACHE:
+        train_bags, test_bags = _gen(seed)
+        _REF_CACHE[seed] = train_reference_recipe(train_bags, test_bags,
+                                                  seed=seed)
+    return _REF_CACHE[seed]
+
+
+def test_recipe_scale_binary_parity_two_sided():
+    """3 seeds, both frameworks, identical bags: the MEANS must agree
+    two-sided and neither side may saturate (VERDICT r2 next-6)."""
+    refs, serials = [], []
+    for seed in SEEDS:
+        train_bags, test_bags = _gen(seed)
+        auc_ref, w_ref = _ref_binary(seed)
+        auc_mine, w_mine = train_mine_recipe(train_bags, test_bags, 1,
+                                             seed=seed)
+        print(f"\nseed {seed}: ref {auc_ref:.3f} (w={w_ref:.3f}) vs "
+              f"serial {auc_mine:.3f} (w={w_mine:.3f})")
+        refs.append(auc_ref)
+        serials.append(auc_mine)
+        # per-seed guard: loose band both ways (32 test bags/run)
+        assert abs(auc_mine - auc_ref) < 0.18
+    ref_m = float(np.mean(refs))
+    mine_m = float(np.mean(serials))
+    print(f"means: ref {ref_m:.3f} vs serial {mine_m:.3f}")
+    # both must learn, and neither may saturate — the regime where a
+    # regression in EITHER direction is measurable
+    assert 0.70 < ref_m < 0.97, f"reference out of band ({ref_m:.3f})"
+    assert 0.70 < mine_m < 0.97, f"rebuild out of band ({mine_m:.3f})"
+    assert abs(mine_m - ref_m) < 0.10
+
+
+def test_recipe_scale_binary_batched_mode():
+    """Batched-bags mode (one optimizer step per 4 bags) on one seed:
+    relaxes serial-SGD semantics, so a wider band."""
+    train_bags, test_bags = _gen(SEEDS[0])
+    auc_ref, _ = _ref_binary(SEEDS[0])
+    auc_batched, _ = train_mine_recipe(train_bags, test_bags, 4,
+                                       seed=SEEDS[0])
+    print(f"\nbatched: ref {auc_ref:.3f} vs batched {auc_batched:.3f}")
+    assert abs(auc_batched - auc_ref) < 0.2
 
 
 def test_recipe_scale_multiclass_parity():
-    all_labels, all_feats = make_wsi_scale_bags(
-        13, 24, n_lo=768, n_hi=2048, num_classes=2)
-    train_bags = (all_labels[:12], all_feats[:12])
-    test_bags = (all_labels[12:], all_feats[12:])
-
-    auc_ref, _ = train_reference_recipe(train_bags, test_bags,
-                                        multiclass=True)
-    auc_mine, _ = train_mine_recipe(train_bags, test_bags, 1,
-                                    multiclass=True)
-    print(f"\nmulticlass recipe parity: ref {auc_ref:.3f} vs "
-          f"mine {auc_mine:.3f}")
-    assert auc_ref > 0.8, f"reference failed to learn ({auc_ref:.3f})"
-    assert auc_mine > 0.8
-    assert auc_mine >= auc_ref - 0.12  # one-sided, see binary test
-    assert auc_mine - auc_ref < 0.2
+    refs, mines = [], []
+    for seed in (13, 14):
+        all_labels, all_feats = make_wsi_scale_bags(
+            seed, 52, n_lo=640, n_hi=1000, num_classes=2, **HARD)
+        te_labels = flip_exact(all_labels[N_TRAIN:], N_TEST_FLIPS, seed)
+        train_bags = (all_labels[:N_TRAIN], all_feats[:N_TRAIN])
+        test_bags = (te_labels, all_feats[N_TRAIN:])
+        auc_ref, _ = train_reference_recipe(train_bags, test_bags,
+                                            multiclass=True, seed=seed)
+        auc_mine, _ = train_mine_recipe(train_bags, test_bags, 1,
+                                        multiclass=True, seed=seed)
+        print(f"\nmulticlass seed {seed}: ref {auc_ref:.3f} vs "
+              f"mine {auc_mine:.3f}")
+        refs.append(auc_ref)
+        mines.append(auc_mine)
+        assert abs(auc_mine - auc_ref) < 0.18
+    ref_m = float(np.mean(refs))
+    mine_m = float(np.mean(mines))
+    print(f"multiclass means: ref {ref_m:.3f} vs mine {mine_m:.3f}")
+    assert 0.70 < ref_m < 0.98, f"reference out of band ({ref_m:.3f})"
+    assert 0.70 < mine_m < 0.98, f"rebuild out of band ({mine_m:.3f})"
+    assert abs(mine_m - ref_m) < 0.12
