@@ -106,6 +106,35 @@ def _grid_geometry(slide_path: str, cfg: TilerConfig):
     return slide, level, read, lw // read, lh // read
 
 
+def _wrap_device_resize(embed_fn, embed_size: int):
+    """Fold the embed-stage resize INTO the jitted embedder program.
+
+    Removes the per-tile host cv2 work from the streaming loop (on the
+    one-vCPU rig every host-side ms/tile serializes into the slide wall
+    time; the dominant host cost is actually the pixel upload — see
+    ROOFLINE.md §4). On device the resize is a negligible prologue to the
+    ViT forward, and bilinear + antialias matches the reference's
+    torchvision `Resize` transform semantics (reference
+    compute_feats.py:104-153) more closely than cv2.INTER_AREA did.
+    Input: uint8 (B, t, t, 3); the inner embed_fn receives float in [0,1]
+    so its own uint8-normalize branch is skipped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(p, hp, im):
+        imf = im.astype(jnp.float32) / 255.0
+        imf = jax.image.resize(
+            imf,
+            (im.shape[0], embed_size, embed_size, im.shape[-1]),
+            "linear",
+            antialias=True,
+        )
+        return embed_fn(p, hp, imf)
+
+    return jax.jit(fn)
+
+
 def predict_slide(
     slide_path: str,
     embed_fn,                 # jitted (backbone_params, head_params, imgs)
@@ -119,25 +148,31 @@ def predict_slide(
     imagenet_norm: bool = False,  # retained for API; bake into embed_fn via
                                   # Embedder.jit_apply(imagenet_norm=True)
     workers: int = 8,
+    prefetch: Optional[bool] = None,
 ) -> SlidePrediction:
     """Fused WSI → bag-score inference.
 
-    When the native grid reader applies (aligned tiles, read == tile_size
-    == embed_size path handled by on-device resize), tiles stream in
-    row-blocks: each block's JPEG decode + background filter runs in ONE
-    C call while the PREVIOUS block's embedding executes on device (JAX
-    dispatch is async — nothing blocks until the final fence), and the
-    embeddings accumulate on device so the only device→host traffic is
-    the final score vector. Timing keys:
+    When the native grid reader applies (aligned tiles; any tile→embed
+    resize runs on device), tiles stream in row-blocks with a ONE-BLOCK
+    PREFETCH thread: block i+1's JPEG decode (a GIL-releasing C call)
+    runs while the main thread uploads + dispatches block i. The upload
+    is the hidden cost on a thin relay link (~1.8 ms/tile measured — it
+    was the unexplained 18 s in BENCH_r02's fused run). Overlap only
+    helps when decode and upload can run concurrently: upload
+    serialization is itself CPU work, so on a single-core host the two
+    threads contend and decode slows ~50% (measured on this rig) —
+    `prefetch=None` auto-enables the thread only when os.cpu_count() > 1.
+    Embeddings accumulate on device; the only device→host traffic is the
+    final score vector. Timing keys:
 
-      read_filter_s — host-side decode+filter wall time (the overlap
-                      window; device embedding hides underneath it)
+      read_filter_s — time BLOCKED waiting for decode+filter (exposed
+                      wait; the prefetch hides the rest under upload)
+      read_decode_s — total worker-side decode+filter time (the C calls)
       embed_s       — embed tail: time blocked on the device AFTER the
-                      last block was decoded
+                      last block was staged
       classify_s    — Snuffy forward on the padded on-device bag
       total_s       — true end-to-end wall time of the fused run
     """
-    import cv2
     import jax
     import jax.numpy as jnp
 
@@ -147,6 +182,12 @@ def predict_slide(
     tiler_cfg = tiler_cfg or TilerConfig()
     timings = {}
     t_start = time.perf_counter()
+
+    # Embed-stage resize runs ON DEVICE (see _wrap_device_resize) — both
+    # the streaming and fallback branches use the same program so their
+    # scores stay bit-comparable (tests/test_slide_inference.py).
+    if tiler_cfg.tile_size != embed_size:
+        embed_fn = _wrap_device_resize(embed_fn, embed_size)
 
     fast = False
     if native.available():
@@ -186,11 +227,6 @@ def predict_slide(
 
         def dispatch(batch_np: np.ndarray, count: int):
             nonlocal bag_buf, feat_dim, n_done
-            if batch_np.shape[1] != embed_size:
-                batch_np = np.stack([
-                    cv2.resize(t, (embed_size, embed_size))
-                    for t in batch_np
-                ])
             feats, _ = embed_fn(embedder_params, embedder_head_params,
                                 jnp.asarray(batch_np))
             if bag_buf is None:
@@ -202,15 +238,38 @@ def predict_slide(
             bag_buf = write_chunk(bag_buf, feats, jnp.int32(n_done))
             n_done += count
 
-        for r0 in range(0, rows, block_rows):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        if prefetch is None:
+            prefetch = (os.cpu_count() or 1) > 1
+        t_decode = 0.0
+
+        def _read_block(r0):
+            nonlocal t_decode
             nb = min(block_rows, rows - r0)
             t0 = time.perf_counter()
             tiles_blk, energy = slide.read_grid(level, read, cols, nb, r0)
-            keep = energy > tiler_cfg.background_threshold
+            t_decode += time.perf_counter() - t0
+            return tiles_blk, energy
+
+        starts = list(range(0, rows, block_rows))
+        ex = ThreadPoolExecutor(max_workers=1) if prefetch else None
+        if ex and starts:
+            fut = ex.submit(_read_block, starts[0])
+        for i, r0 in enumerate(starts):
+            t0 = time.perf_counter()
+            if ex:
+                tiles_blk, energy = fut.result()
+            else:
+                tiles_blk, energy = _read_block(r0)
             t_read += time.perf_counter() - t0
+            if ex and i + 1 < len(starts):
+                fut = ex.submit(_read_block, starts[i + 1])
+            keep = energy > tiler_cfg.background_threshold
             idx = np.nonzero(keep)[0]
             positions.extend(
-                (int(i % cols), int(r0 + i // cols)) for i in idx
+                (int(j % cols), int(r0 + j // cols)) for j in idx
             )
             if idx.size:
                 carry.append(tiles_blk[idx])
@@ -221,6 +280,8 @@ def predict_slide(
                 rest = buf[embed_batch:]
                 carry = [rest] if len(rest) else []
                 n_carry = len(rest)
+        if ex:
+            ex.shutdown(wait=True)
         if n_carry:
             buf = np.concatenate(carry) if len(carry) > 1 else carry[0]
             pad = np.zeros((embed_batch - n_carry,) + buf.shape[1:],
@@ -228,6 +289,7 @@ def predict_slide(
             dispatch(np.concatenate([buf, pad]), n_carry)
         slide.close()
         timings["read_filter_s"] = t_read
+        timings["read_decode_s"] = t_decode
         n = n_done
 
         t0 = time.perf_counter()
@@ -259,12 +321,8 @@ def predict_slide(
     feats_chunks = []
     for start in range(0, n, embed_batch):
         chunk = tiles[start:start + embed_batch]
-        if chunk.shape[1] != embed_size:
-            chunk = np.stack([
-                cv2.resize(t, (embed_size, embed_size)) for t in chunk
-            ])
-        # ship uint8; the jitted embedder casts/normalizes on device
-        # (4x less host->device traffic than float32 pixels)
+        # ship uint8 at tile resolution; the jitted embedder resizes,
+        # casts and normalizes on device
         batch = chunk
         if len(chunk) < embed_batch:
             batch = np.concatenate([

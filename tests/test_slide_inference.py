@@ -33,13 +33,18 @@ def test_predict_slide_end_to_end(tmp_path):
 
 
 def test_streaming_fast_path_matches_fallback(tmp_path, monkeypatch):
-    """The native streaming path (one C grid call per row block, async
-    device embed, on-device bag assembly) selects the same tiles and
-    produces the same scores as the per-tile fallback path."""
+    """The native streaming path (one C grid call per row block, decode
+    PREFETCH thread, async device embed, on-device bag assembly) selects
+    the same tiles and produces the same scores as the per-tile fallback
+    path. cpu_count is patched to 2 so the prefetch thread (auto-gated
+    off on this 1-vCPU rig) is exercised."""
+    import os
+
     from tests.test_tiling import make_slide
 
     import predict_slide as cli
 
+    monkeypatch.setattr(os, "cpu_count", lambda: 2)
     slide_path = str(tmp_path / "tumor_002.tif")
     make_slide(slide_path)
     args = [

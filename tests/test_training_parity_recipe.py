@@ -130,10 +130,12 @@ def _ref_weight_init(milnet):
     return milnet
 
 
-def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
+def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0,
+                           lr=None):
     """The reference hot loop at the recipe point (train.py:249-293 +
     SmallWeightTrainer semantics: learnable w with clamp, grouped AdamW,
-    per-epoch CosineAnnealingLR, pos-weighted BCE)."""
+    per-epoch CosineAnnealingLR, pos-weighted BCE). `lr` overrides the
+    recipe lr (see STABLE_LR below)."""
     from sklearn.metrics import roc_auc_score
 
     from snuffy_tpu.train.schedules import cosine_annealing
@@ -141,6 +143,7 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
     ref_snuffy, ref_mc = _ref_modules()
     mod = ref_mc if multiclass else ref_snuffy
     r = RECIPE
+    lr = lr or r["lr"]
     torch.manual_seed(seed)
     num_classes = len(train_bags[0][0]) if multiclass else 1
     c = copy.deepcopy
@@ -167,9 +170,9 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
 
     w = torch.tensor(0.5, requires_grad=True)
     opt = torch.optim.AdamW(
-        params=[{"params": w, "lr": r["lr"]},
+        params=[{"params": w, "lr": lr},
                 {"params": milnet.parameters()}],
-        lr=r["lr"], betas=r["betas"], weight_decay=r["wd"],
+        lr=lr, betas=r["betas"], weight_decay=r["wd"],
     )
     labels, feats = train_bags
     # reference utils.py:499-507: ELEMENTWISE clip-sum → per-class vector
@@ -177,7 +180,7 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
     pos = sum(np.clip(np.asarray(l, np.float64), 0, 1) for l in labels)
     pos_weight = torch.tensor((len(labels) - pos) / pos, dtype=torch.float32)
     crit = torch.nn.BCEWithLogitsLoss(pos_weight)
-    sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
+    sched = cosine_annealing(lr, r["epochs"], 0.0)
 
     host = np.random.default_rng(seed)
     milnet.train()
@@ -217,7 +220,7 @@ def train_reference_recipe(train_bags, test_bags, multiclass=False, seed=0):
 
 
 def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
-                      multiclass=False, seed=0):
+                      multiclass=False, seed=0, lr=None):
     from sklearn.metrics import roc_auc_score
 
     from snuffy_tpu.configs import (MILTrainConfig, OptimizerConfig,
@@ -227,6 +230,7 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
     from snuffy_tpu.train.trainer import SnuffyTrainer
 
     r = RECIPE
+    lr = lr or r["lr"]
     num_classes = len(train_bags[0][0]) if multiclass else 1
     cfg = MILTrainConfig(
         model=SnuffyModelConfig(
@@ -237,7 +241,7 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
             weight_init_i="xavier_uniform", weight_init_b="trunc_normal",
             use_pallas=False,
         ),
-        optim=OptimizerConfig(optimizer="adamw", lr=r["lr"],
+        optim=OptimizerConfig(optimizer="adamw", lr=lr,
                               weight_decay=r["wd"], betas=r["betas"]),
         soft_average=True,
         bag_batch_size=bag_batch_size,
@@ -248,7 +252,7 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
                  for l in train_bags[0]]
     trainer.pos_weight = compute_pos_weight(train_bags[0])
     state = trainer.init_state(seed)
-    sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
+    sched = cosine_annealing(lr, r["epochs"], 0.0)
     host = np.random.default_rng(seed)
     tr_feats = [_l2norm(f) for f in train_bags[1]]
     for epoch in range(r["epochs"]):
@@ -270,19 +274,37 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
     return roc_auc_score(y_true, scores[:, 0]), float(state.w)
 
 
-# Hardness point calibrated with tools/calibrate_recipe_bags.py so the
-# recipe lands NON-saturated (round-2's bags saturated at ours=1.0 vs
-# ref=0.875, making the parity band one-sided-only). Stochastic hardness
-# (distractors / Bernoulli label noise / strong blend) measured as a
-# learning CLIFF with giant seed variance at ≤16 train bags — see the
-# sweep history in tools/calibrate_recipe_bags.py. The calibrated design
-# keeps the geometry stably learnable (mild blend) and caps the AUC
-# ceiling VARIANCE-FREE by flipping an exact count of test labels: both
-# frameworks rank the same flipped set, a perfect ranker measures ≈0.87,
-# and a regression in either framework drops below it.
-HARD = dict(tumor_blend=0.15, tumor_frac_lo=0.025, tumor_frac_hi=0.04)
-SEEDS = (11, 12, 13)
-N_TRAIN, N_TEST_FLIPS = 16, 6
+# Design calibrated with tools/calibrate_recipe_bags.py (full sweep
+# history there) so the parity band is NON-saturated and TWO-SIDED
+# (VERDICT r2 next-6; round-2's bags saturated at ours=1.0 vs ref=0.875):
+#
+# 1. Ceiling: flip an EXACT count of test labels (6/48). Both frameworks
+#    rank the same flipped set, a perfect ranker measures exactly 0.875,
+#    and a regression in EITHER framework drops below it. This mechanism
+#    is variance-free — unlike every stochastic hardness knob
+#    (distractors / Bernoulli label noise / strong blend), all of which
+#    measured as learning CLIFFS with giant seed variance at ≤16 train
+#    bags.
+# 2. Geometry: the stable regime round 2 proved (n 1300-2040 → one 2048
+#    padding bucket, fixed 4% tumor share, no blend) — stably learnable,
+#    so the only thing between a working framework and the 0.875 ceiling
+#    is ranking noise on 48 bags.
+# 3. Learning rate: the tight band runs at STABLE_LR=5e-3, NOT the
+#    recipe's lr=0.02, because the recipe lr is MEASURED-BIMODAL at this
+#    toy scale in the reference itself: three torch init seeds on
+#    identical bags landed at 0.468 / 0.743 / 0.821, and a re-run of
+#    round-2's exact bags moved 0.875 → 0.688 (single-vCPU BLAS
+#    scheduling changes summation order run-to-run — CLAUDE.md chaotic-
+#    regime note). Ours is bimodal there too (0.845/0.844/0.472 across
+#    seeds). No two-sided band can hold where both sides are bimodal;
+#    at 5e-3 the SAME model/optimizer/schedule/data path is deterministic
+#    enough for a tight band (ours: 0.78-0.85 over 5 seeds, mean 0.816).
+#    test_recipe_lr_can_learn keeps the lr=0.02 point covered.
+HARD = dict(tumor_blend=0.0, tumor_frac_lo=0.04, tumor_frac_hi=0.04)
+GEN = dict(num_bags=60, n_lo=1300, n_hi=2040)
+SEEDS = (13, 14, 15)
+STABLE_LR = 5e-3
+N_TRAIN, N_TEST_FLIPS = 12, 6
 
 
 def flip_exact(labels, k, seed):
@@ -297,9 +319,9 @@ def flip_exact(labels, k, seed):
 
 
 def _gen(seed, **overrides):
-    # n range spans a single padding bucket (1024) — one compile per
+    # n range spans a single padding bucket (2048) — one compile per
     # program on the relay backend (see tools/calibrate_recipe_bags.py)
-    kw = dict(num_bags=64, n_lo=640, n_hi=1000, **HARD)
+    kw = dict(**GEN, **HARD)
     kw.update(overrides)
     labels, feats = make_wsi_scale_bags(seed, **kw)
     te_labels = flip_exact(labels[N_TRAIN:], N_TEST_FLIPS, seed)
@@ -310,39 +332,40 @@ def _gen(seed, **overrides):
 _REF_CACHE: dict = {}
 
 
-def _ref_binary(seed):
+def _ref_binary(seed, lr=STABLE_LR):
     """The torch loop takes ~10 min/seed on this rig — cache per seed
-    (bags are a pure function of seed + HARD)."""
-    if seed not in _REF_CACHE:
+    (bags are a pure function of seed + GEN + HARD)."""
+    if (seed, lr) not in _REF_CACHE:
         train_bags, test_bags = _gen(seed)
-        _REF_CACHE[seed] = train_reference_recipe(train_bags, test_bags,
-                                                  seed=seed)
-    return _REF_CACHE[seed]
+        _REF_CACHE[(seed, lr)] = train_reference_recipe(
+            train_bags, test_bags, seed=seed, lr=lr)
+    return _REF_CACHE[(seed, lr)]
 
 
 def test_recipe_scale_binary_parity_two_sided():
-    """3 seeds, both frameworks, identical bags: the MEANS must agree
-    two-sided and neither side may saturate (VERDICT r2 next-6)."""
+    """3 seeds, both frameworks, identical bags at STABLE_LR: the MEANS
+    must agree two-sided and neither side may saturate (VERDICT r2
+    next-6; the 0.875 flip ceiling keeps saturation impossible)."""
     refs, serials = [], []
     for seed in SEEDS:
         train_bags, test_bags = _gen(seed)
         auc_ref, w_ref = _ref_binary(seed)
         auc_mine, w_mine = train_mine_recipe(train_bags, test_bags, 1,
-                                             seed=seed)
+                                             seed=seed, lr=STABLE_LR)
         print(f"\nseed {seed}: ref {auc_ref:.3f} (w={w_ref:.3f}) vs "
               f"serial {auc_mine:.3f} (w={w_mine:.3f})")
         refs.append(auc_ref)
         serials.append(auc_mine)
-        # per-seed guard: loose band both ways (32 test bags/run)
-        assert abs(auc_mine - auc_ref) < 0.18
+        # per-seed guard: loose band both ways (48 test bags/run)
+        assert abs(auc_mine - auc_ref) < 0.15
     ref_m = float(np.mean(refs))
     mine_m = float(np.mean(serials))
     print(f"means: ref {ref_m:.3f} vs serial {mine_m:.3f}")
     # both must learn, and neither may saturate — the regime where a
     # regression in EITHER direction is measurable
-    assert 0.70 < ref_m < 0.97, f"reference out of band ({ref_m:.3f})"
-    assert 0.70 < mine_m < 0.97, f"rebuild out of band ({mine_m:.3f})"
-    assert abs(mine_m - ref_m) < 0.10
+    assert 0.70 < ref_m < 0.93, f"reference out of band ({ref_m:.3f})"
+    assert 0.70 < mine_m < 0.93, f"rebuild out of band ({mine_m:.3f})"
+    assert abs(mine_m - ref_m) < 0.08
 
 
 def test_recipe_scale_binary_batched_mode():
@@ -351,31 +374,51 @@ def test_recipe_scale_binary_batched_mode():
     train_bags, test_bags = _gen(SEEDS[0])
     auc_ref, _ = _ref_binary(SEEDS[0])
     auc_batched, _ = train_mine_recipe(train_bags, test_bags, 4,
-                                       seed=SEEDS[0])
+                                       seed=SEEDS[0], lr=STABLE_LR)
     print(f"\nbatched: ref {auc_ref:.3f} vs batched {auc_batched:.3f}")
     assert abs(auc_batched - auc_ref) < 0.2
+
+
+def test_recipe_lr_can_learn():
+    """The recipe's own lr=0.02 stays covered one-sided: at toy scale it
+    is measured-bimodal in BOTH frameworks (see the design note above —
+    torch lands 0.468-0.821 across init seeds on identical bags), so no
+    two-sided band exists; assert ours reaches the ceiling-adjacent mode
+    on the majority of seeds, i.e. the recipe point can still learn."""
+    aucs = []
+    for seed in SEEDS:
+        train_bags, test_bags = _gen(seed)
+        auc, _ = train_mine_recipe(train_bags, test_bags, 1, seed=seed,
+                                   lr=RECIPE["lr"])
+        print(f"\nrecipe-lr seed {seed}: {auc:.3f}")
+        aucs.append(auc)
+    good = sum(a > 0.75 for a in aucs)
+    print(f"recipe-lr aucs: {[round(a, 3) for a in aucs]}")
+    assert good >= 2, f"recipe-lr failed to learn on {aucs}"
 
 
 def test_recipe_scale_multiclass_parity():
     refs, mines = [], []
     for seed in (13, 14):
         all_labels, all_feats = make_wsi_scale_bags(
-            seed, 52, n_lo=640, n_hi=1000, num_classes=2, **HARD)
+            seed, num_classes=2, **GEN, **HARD)
         te_labels = flip_exact(all_labels[N_TRAIN:], N_TEST_FLIPS, seed)
         train_bags = (all_labels[:N_TRAIN], all_feats[:N_TRAIN])
         test_bags = (te_labels, all_feats[N_TRAIN:])
         auc_ref, _ = train_reference_recipe(train_bags, test_bags,
-                                            multiclass=True, seed=seed)
+                                            multiclass=True, seed=seed,
+                                            lr=STABLE_LR)
         auc_mine, _ = train_mine_recipe(train_bags, test_bags, 1,
-                                        multiclass=True, seed=seed)
+                                        multiclass=True, seed=seed,
+                                        lr=STABLE_LR)
         print(f"\nmulticlass seed {seed}: ref {auc_ref:.3f} vs "
               f"mine {auc_mine:.3f}")
         refs.append(auc_ref)
         mines.append(auc_mine)
-        assert abs(auc_mine - auc_ref) < 0.18
+        assert abs(auc_mine - auc_ref) < 0.15
     ref_m = float(np.mean(refs))
     mine_m = float(np.mean(mines))
     print(f"multiclass means: ref {ref_m:.3f} vs mine {mine_m:.3f}")
-    assert 0.70 < ref_m < 0.98, f"reference out of band ({ref_m:.3f})"
-    assert 0.70 < mine_m < 0.98, f"rebuild out of band ({mine_m:.3f})"
-    assert abs(mine_m - ref_m) < 0.12
+    assert 0.70 < ref_m < 0.95, f"reference out of band ({ref_m:.3f})"
+    assert 0.70 < mine_m < 0.95, f"rebuild out of band ({mine_m:.3f})"
+    assert abs(mine_m - ref_m) < 0.10

@@ -27,6 +27,9 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 from test_training_parity_recipe import (  # noqa: E402
+    GEN,
+    N_TEST_FLIPS,
+    N_TRAIN,
     RECIPE,
     _l2norm,
     flip_exact,
@@ -63,12 +66,17 @@ CANDIDATES = [
         tumor_blend=0.15, tumor_frac_lo=0.04, tumor_frac_hi=0.04)),
 ]
 
-CHOSEN = CANDIDATES[0][1]  # update after the sweep
-SEEDS = (11, 12, 13)
-# single bucket: n in [1300, 2040) pads to 2048 for every bag
-GEN = dict(num_bags=60, n_lo=1300, n_hi=2040)
-N_TRAIN = 12
-N_TEST_FLIPS = 6
+# Measured @ n 1300-2040 (GEN), ceiling 0.875:
+#   recipe lr=0.02: ours seeds 11/12 → 0.845/0.844, 13 → 0.47; seeds
+#     14-17 → 0.807/0.806/0.774/0.601. Torch ref: 0.525/0.598 (seeds
+#     11/12), and 0.468-0.821 across three torch INIT seeds on identical
+#     bags; round-2's exact bags re-measured 0.875 → 0.688. BOTH sides
+#     bimodal — the single-vCPU BLAS chaotic regime (CLAUDE.md).
+#   STABLE_LR=5e-3: ours seeds 13-17 → 0.832/0.818/0.847/0.804/0.781
+#     (mean 0.816, blend 0.15 indistinguishable) — stable; the two-sided
+#     parity band lives here (tests/test_training_parity_recipe.py).
+CHOSEN = CANDIDATES[0][1]
+SEEDS = (13, 14, 15, 16, 17)
 
 
 def split(labels, feats, seed):
@@ -78,7 +86,7 @@ def split(labels, feats, seed):
                                                  feats[N_TRAIN:])
 
 
-def run_mine(trainer, train_bags, test_bags, seed):
+def run_mine(trainer, train_bags, test_bags, seed, lr=None):
     from sklearn.metrics import roc_auc_score
 
     from snuffy_tpu.train.runner import bucket_bags, compute_pos_weight
@@ -89,7 +97,7 @@ def run_mine(trainer, train_bags, test_bags, seed):
                  for l in train_bags[0]]
     trainer.pos_weight = compute_pos_weight(train_bags[0])
     state = trainer.init_state(seed)
-    sched = cosine_annealing(r["lr"], r["epochs"], 0.0)
+    sched = cosine_annealing(lr or r["lr"], r["epochs"], 0.0)
     host = np.random.default_rng(seed)
     tr_feats = [_l2norm(f) for f in train_bags[1]]
     for epoch in range(r["epochs"]):
@@ -132,6 +140,7 @@ def build_trainer():
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "mine"
+    lr = float(sys.argv[2]) if len(sys.argv) > 2 else None
     if mode == "mine":
         trainer = build_trainer()
         for name, kw in CANDIDATES:
@@ -139,7 +148,8 @@ def main():
             for seed in SEEDS:
                 labels, feats = make_wsi_scale_bags(seed, **GEN, **kw)
                 train_bags, test_bags = split(labels, feats, seed)
-                auc, w = run_mine(trainer, train_bags, test_bags, seed)
+                auc, w = run_mine(trainer, train_bags, test_bags, seed,
+                                  lr=lr)
                 aucs.append(auc)
                 print(f"  {name} seed={seed}: auc={auc:.3f} w={w:.3f}",
                       flush=True)
@@ -149,7 +159,8 @@ def main():
         for seed in SEEDS:
             labels, feats = make_wsi_scale_bags(seed, **GEN, **CHOSEN)
             train_bags, test_bags = split(labels, feats, seed)
-            auc, w = train_reference_recipe(train_bags, test_bags, seed=seed)
+            auc, w = train_reference_recipe(train_bags, test_bags, seed=seed,
+                                            lr=lr)
             print(f"ref seed={seed}: auc={auc:.3f} w={w:.3f}", flush=True)
 
 

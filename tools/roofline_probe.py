@@ -81,6 +81,43 @@ def gemm_ceilings():
         report(tag, dt, flops=2 * m * k * n)
 
 
+def gemm_ceilings_amortized(reps=16):
+    """Per-shape GEMM ceilings with the relay dispatch floor amortized:
+    ONE jitted program chains `reps` data-dependent GEMMs (each reads the
+    previous result, so XLA cannot CSE them). The single-dispatch probes
+    above are floor-contaminated for small shapes (a 3.2 GFLOP GEMM
+    'measures' 1.5 ms — the ~1.5 ms/dispatch relay floor, not the MXU)."""
+    print(f"--- GEMM ceilings, amortized x{reps} (bf16) ---", flush=True)
+    shapes = [
+        (256 * 197, 384, 1152, "ViT qkv   (50432x384x1152)"),
+        (256 * 197, 384, 384, "ViT proj  (50432x384x384)"),
+        (256 * 197, 384, 1536, "ViT mlp-in (50432x384x1536)"),
+        (256 * 197, 1536, 384, "ViT mlp-out (50432x1536x384)"),
+        (10240, 384, 1536, "MIL ffn-in (10240x384x1536)"),
+        (10240, 1536, 384, "MIL ffn-out (10240x1536x384)"),
+        (10240, 384, 384, "MIL qkv/o  (10240x384x384)"),
+        (8192, 8192, 8192, "square 8k (reference ceiling)"),
+    ]
+    key = jax.random.PRNGKey(0)
+    for m, k, n, tag in shapes:
+        a = jax.random.normal(key, (m, k), jnp.bfloat16)
+        b = jax.random.normal(key, (k, n), jnp.bfloat16)
+
+        @jax.jit
+        def mm(a, b):
+            acc = jnp.zeros((), jnp.float32)
+            x = a
+            for _ in range(reps):
+                y = x @ b                       # (m, n)
+                acc += y[0, 0].astype(jnp.float32)
+                x = a + y[:, :1].astype(a.dtype)   # serialize the chain
+            return acc
+
+        iters = 5 if m >= 8192 and k >= 8192 else ITERS
+        dt = timeit(mm, a, b, iters=iters) / reps
+        report(tag, dt, flops=2 * m * k * n)
+
+
 def attention_chain():
     """The n=197 attention einsum chain per ViT layer, batched over
     images: scores (z,n,n) + softmax + AV, z = B*heads."""
@@ -235,11 +272,13 @@ def mil_split():
 
 
 def main():
-    gemm_ceilings()
-    attention_chain()
-    elementwise_chain()
-    extraction_sweep()
-    mil_split()
+    stages = sys.argv[1:] or ["gemm", "gemm_amortized", "attn", "elem",
+                              "extract", "mil"]
+    fns = {"gemm": gemm_ceilings, "gemm_amortized": gemm_ceilings_amortized,
+           "attn": attention_chain, "elem": elementwise_chain,
+           "extract": extraction_sweep, "mil": mil_split}
+    for s in stages:
+        fns[s]()
 
 
 if __name__ == "__main__":
