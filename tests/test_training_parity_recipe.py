@@ -279,8 +279,10 @@ def train_mine_recipe(train_bags, test_bags, bag_batch_size=1,
 # (VERDICT r2 next-6; round-2's bags saturated at ours=1.0 vs ref=0.875):
 #
 # 1. Ceiling: flip an EXACT count of test labels (6/48). Both frameworks
-#    rank the same flipped set, a perfect ranker measures exactly 0.875,
-#    and a regression in EITHER framework drops below it. This mechanism
+#    rank the same flipped set, a perfect ranker of the TRUE labels
+#    measures 0.875 (an imperfect one can exceed it slightly when its
+#    errors happen to agree with flipped labels — ref seed 15 measured
+#    0.885), and a regression in EITHER framework drops below it. This mechanism
 #    is variance-free — unlike every stochastic hardness knob
 #    (distractors / Bernoulli label noise / strong blend), all of which
 #    measured as learning CLIFFS with giant seed variance at ≤16 train

@@ -73,10 +73,13 @@ CANDIDATES = [
 #     bags; round-2's exact bags re-measured 0.875 → 0.688. BOTH sides
 #     bimodal — the single-vCPU BLAS chaotic regime (CLAUDE.md).
 #   STABLE_LR=5e-3: ours seeds 13-17 → 0.832/0.818/0.847/0.804/0.781
-#     (mean 0.816, blend 0.15 indistinguishable) — stable; the two-sided
-#     parity band lives here (tests/test_training_parity_recipe.py).
+#     (mean 0.816, blend 0.15 indistinguishable) — stable; torch ref
+#     seeds 13-15 → 0.811/0.854/0.885 (mean 0.850). Per-seed |diff|
+#     ≤ 0.038. The two-sided parity band lives here
+#     (tests/test_training_parity_recipe.py).
 CHOSEN = CANDIDATES[0][1]
-SEEDS = (13, 14, 15, 16, 17)
+SEEDS = (13, 14, 15, 16, 17)   # mine: wide scan; ref (10 min/seed): the
+REF_SEEDS = (13, 14, 15)       # test's three seeds only
 
 
 def split(labels, feats, seed):
@@ -156,7 +159,7 @@ def main():
             print(f"{name}: mean={sum(aucs) / len(aucs):.3f} "
                   f"{[round(a, 3) for a in aucs]}", flush=True)
     else:
-        for seed in SEEDS:
+        for seed in REF_SEEDS:
             labels, feats = make_wsi_scale_bags(seed, **GEN, **CHOSEN)
             train_bags, test_bags = split(labels, feats, seed)
             auc, w = train_reference_recipe(train_bags, test_bags, seed=seed,
