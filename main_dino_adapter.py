@@ -88,11 +88,24 @@ def train_dino(args):
     import jax.numpy as jnp
 
     from snuffy_tpu.models.vit import vit_base, vit_small, vit_tiny
+    from snuffy_tpu.parallel.ssl_sharding import (
+        dp_mesh,
+        replicate_state,
+        shard_batch_global,
+    )
     from snuffy_tpu.ssl.augment import dino_multicrop_batch
     from snuffy_tpu.ssl.data import ImageBatcher, list_image_folder
     from snuffy_tpu.ssl.dino import DINOTrainer
     from snuffy_tpu.ssl.schedules import cosine_iter_schedule
     from snuffy_tpu.embed import torch_import as ti
+
+    # Data parallelism over every chip (all hosts): batch_size_per_gpu is
+    # PER-DEVICE, exactly the reference's per-GPU contract under DDP
+    # (reference main_dino_adapter.py:334 + utils.get_world_size()). One
+    # device → plain single-chip path, zero sharding machinery.
+    n_dev = jax.device_count()
+    mesh = dp_mesh() if n_dev > 1 else None
+    local_batch = args.batch_size_per_gpu * jax.local_device_count()
 
     factory = {"vit_tiny": vit_tiny, "vit_small": vit_small,
                "vit_base": vit_base}[args.arch]
@@ -147,21 +160,29 @@ def train_dino(args):
         print(f"loaded full checkpoint from {args.full_checkpoint}")
 
     paths, _ = list_image_folder(args.data_path)
-    batcher = ImageBatcher(paths, args.batch_size_per_gpu, args.img_size,
+    if jax.process_count() > 1:
+        # hosts feed disjoint image subsets (DistributedSampler role)
+        paths = paths[jax.process_index()::jax.process_count()]
+    batcher = ImageBatcher(paths, local_batch, args.img_size,
                            args.num_workers, args.seed)
     valid_batcher = None
     if args.valid_data_path:
         vp, _ = list_image_folder(args.valid_data_path)
-        valid_batcher = ImageBatcher(vp, args.batch_size_per_gpu,
+        if jax.process_count() > 1:
+            vp = vp[jax.process_index()::jax.process_count()]
+        valid_batcher = ImageBatcher(vp, local_batch,
                                      args.img_size, args.num_workers,
                                      args.seed + 1)
     iters = len(batcher)
     if args.max_steps_per_epoch:
         iters = min(iters, args.max_steps_per_epoch)
-    print(f"{len(paths)} images, {iters} iters/epoch")
+    print(f"{len(paths)} images, {iters} iters/epoch, "
+          f"{n_dev} device(s) x batch {args.batch_size_per_gpu}")
 
+    # linear lr scaling by the GLOBAL batch (reference
+    # main_dino_adapter.py: lr * batch_size_per_gpu * world_size / 256)
     lr_s = cosine_iter_schedule(
-        args.lr * args.batch_size_per_gpu / 256.0, args.min_lr,
+        args.lr * args.batch_size_per_gpu * n_dev / 256.0, args.min_lr,
         args.epochs, iters, warmup_epochs=args.warmup_epochs,
     )
     wd_s = cosine_iter_schedule(args.weight_decay, args.weight_decay_end,
@@ -212,6 +233,14 @@ def train_dino(args):
             os.path.join(args.output_dir, "log.txt"), start_epoch
         )
 
+    if mesh is not None:
+        # replicate student/teacher/opt state across the dp axis; the
+        # jitted step's batch-mean grads then psum over ICI (the DDP
+        # all-reduce of reference dino_adapter/utils.py:473-513), and the
+        # DINOLoss center mean is the global-batch mean for free
+        # (reference main_dino_adapter.py:666-668 dist.all_reduce).
+        state = replicate_state(state, mesh)
+
     it = start_epoch * iters
     key = jax.random.PRNGKey(args.seed + start_epoch)
     for epoch in range(start_epoch, args.epochs):
@@ -221,7 +250,9 @@ def train_dino(args):
             if bi >= iters:
                 break
             key, k_aug, k_step = jax.random.split(key, 3)
-            g, l = aug(k_aug, jnp.asarray(batch))
+            imgs = (shard_batch_global(batch, mesh) if mesh is not None
+                    else jnp.asarray(batch))
+            g, l = aug(k_aug, imgs)
             state, loss = step(
                 state, g, l,
                 jnp.asarray(lr_s(it), jnp.float32),
@@ -243,7 +274,9 @@ def train_dino(args):
                 if bi >= 5:
                     break
                 key, k_aug = jax.random.split(key)
-                g, l = aug(k_aug, jnp.asarray(batch))
+                imgs = (shard_batch_global(batch, mesh) if mesh is not None
+                        else jnp.asarray(batch))
+                g, l = aug(k_aug, imgs)
                 vl.append(trainer.eval_loss(
                     state, g, l, trainer.teacher_temp_at(epoch)
                 ))

@@ -70,6 +70,11 @@ def train_mae(args):
         mae_vit_base_patch16,
         mae_vit_large_patch16,
     )
+    from snuffy_tpu.parallel.ssl_sharding import (
+        dp_mesh,
+        replicate_state,
+        shard_batch_global,
+    )
     from snuffy_tpu.ssl.data import ImageBatcher, list_image_folder
     from snuffy_tpu.ssl.mae_trainer import (
         MAETrainer,
@@ -77,6 +82,14 @@ def train_mae(args):
         host_check_finite,
     )
     from snuffy_tpu.ssl.schedules import mae_lr_schedule
+
+    # Data parallelism over every chip (all hosts): --batch_size is
+    # PER-DEVICE (the reference's per-GPU torchrun contract,
+    # mae_adapter/main_pretrain_adapter.py:308-310). One device → the
+    # plain single-chip path.
+    n_dev = jax.device_count()
+    mesh = dp_mesh() if n_dev > 1 else None
+    local_batch = args.batch_size * jax.local_device_count()
 
     train_linears, linears_from_scratch = ast.literal_eval(
         args.train_linears__linears_from_scratch
@@ -113,24 +126,32 @@ def train_mae(args):
         state = state._replace(params=merged)
         print(f"loaded checkpoint from {args.finetune}")
 
+    # blr rule over the GLOBAL effective batch (reference
+    # main_pretrain_adapter.py:296-302: eff_batch = batch * world_size)
     base_lr = args.lr if args.lr is not None else effective_lr(
-        args.blr, args.batch_size
+        args.blr, args.batch_size * n_dev
     )
     lr_s = mae_lr_schedule(base_lr, args.min_lr, args.epochs,
                            args.warmup_epochs)
 
     paths, _ = list_image_folder(args.data_path)
-    batcher = ImageBatcher(paths, args.batch_size, args.input_size,
+    if jax.process_count() > 1:
+        # hosts feed disjoint image subsets (DistributedSampler role)
+        paths = paths[jax.process_index()::jax.process_count()]
+    batcher = ImageBatcher(paths, local_batch, args.input_size,
                            args.num_workers, args.seed)
     iters = len(batcher)
     if args.max_steps_per_epoch:
         iters = min(iters, args.max_steps_per_epoch)
-    print(f"{len(paths)} images, {iters} iters/epoch, base_lr {base_lr:.2e}")
+    print(f"{len(paths)} images, {iters} iters/epoch, base_lr {base_lr:.2e}, "
+          f"{n_dev} device(s) x batch {args.batch_size}")
 
     valid_batcher = None
     if args.valid_data_path:
         vp, _ = list_image_folder(args.valid_data_path)
-        valid_batcher = ImageBatcher(vp, args.batch_size, args.input_size,
+        if jax.process_count() > 1:
+            vp = vp[jax.process_index()::jax.process_count()]
+        valid_batcher = ImageBatcher(vp, local_batch, args.input_size,
                                      args.num_workers, args.seed + 1)
 
     step = trainer.get_step()
@@ -160,6 +181,12 @@ def train_mae(args):
             os.path.join(args.output_dir, "log.txt"), start_epoch
         )
 
+    if mesh is not None:
+        # replicate params/opt state over dp; the jitted step's batch-mean
+        # grads psum over ICI (the DDP all-reduce of reference
+        # mae_adapter/util/misc.py:243-247).
+        state = replicate_state(state, mesh)
+
     key = jax.random.PRNGKey(args.seed + start_epoch)
     best_val, best_path = float("inf"), None
     for epoch in range(start_epoch, args.epochs):
@@ -172,9 +199,11 @@ def train_mae(args):
             key, k = jax.random.split(key)
             # uint8 straight to the device; the step normalizes there
             # (4× less host→device traffic than f32 pixels).
+            imgs = (shard_batch_global(batch.astype(np.uint8), mesh)
+                    if mesh is not None else jnp.asarray(batch, jnp.uint8))
             state, loss = step(
                 state,
-                jnp.asarray(batch, jnp.uint8),
+                imgs,
                 jnp.asarray(lr_s(frac_epoch), jnp.float32),
                 k,
             )

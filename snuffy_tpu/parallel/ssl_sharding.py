@@ -41,3 +41,24 @@ def shard_crops(crops, mesh: Mesh):
 def replicate_state(state: Any, mesh: Mesh) -> Any:
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+def shard_batch_global(batch, mesh: Mesh):
+    """Process-local (B_local, ...) rows → the global dp-sharded array.
+
+    Single-process: a device_put across the mesh's dp axis. Multi-host:
+    each host hands its local rows to
+    `jax.make_array_from_process_local_data` (the DistributedSampler
+    replacement — hosts feed disjoint row blocks, see
+    parallel/distributed.py:process_batch_slice). Works for any rank;
+    axis 0 is the batch axis.
+    """
+    import numpy as np
+
+    spec = P("dp", *([None] * (batch.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(batch)
+    )

@@ -242,6 +242,28 @@ def test_dino_step_dp_sharded_runs():
     assert np.isfinite(float(loss))
 
 
+def test_shard_batch_global_places_rows_on_dp():
+    """shard_batch_global (the CLI batch-feed used by the SSL entry
+    points) puts B/dp rows on each device and preserves values."""
+    from jax.sharding import PartitionSpec as P
+
+    from snuffy_tpu.parallel.ssl_sharding import dp_mesh, shard_batch_global
+
+    mesh = dp_mesh(8)
+    x = np.arange(32 * 4, dtype=np.float32).reshape(32, 4)
+    g = shard_batch_global(x, mesh)
+    assert g.shape == (32, 4)
+    assert g.sharding.spec == P("dp", None), g.sharding
+    assert g.addressable_shards[0].data.shape == (4, 4)
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+    # uint8 image rank (the actual CLI payload)
+    imgs = np.zeros((16, 8, 8, 3), np.uint8)
+    gi = shard_batch_global(imgs, mesh)
+    assert gi.sharding.spec == P("dp", None, None, None)
+    assert gi.addressable_shards[0].data.shape == (2, 8, 8, 3)
+
+
 def test_sp_attention_matches_single_device():
     """Sequence-parallel attention (shard_map + psum over sp) equals the
     unsharded op bit-for-tolerance."""

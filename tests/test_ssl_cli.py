@@ -9,7 +9,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _make_image_folder(root, n_per_class=6, size=32):
+def _make_image_folder(root, n_per_class=40, size=32):
+    # 80 images: with the dp-sharded CLIs the per-process batch is
+    # batch_size_per_gpu x 8 virtual devices = 32, so 2 full iters/epoch
+    # survive drop_last — the CLI smoke tests exercise the real dp path.
     from PIL import Image
 
     rng = np.random.default_rng(0)
