@@ -104,10 +104,23 @@ def compute_bag_feats(
     img_size: int = 224,
     imagenet_norm: bool = False,
     pool: Optional[mp.Pool] = None,
+    mesh=None,
 ) -> np.ndarray:
     """All patches of one bag → (N, D) feats. The tail batch is zero-padded
-    so every dispatch uses one static (batch_size, ...) shape."""
+    so every dispatch uses one static (batch_size, ...) shape.
+
+    With `mesh` (a dp Mesh over the local chips) each batch shards its rows
+    across the dp axis — one program embeds batch_size/dp patches per chip
+    (data-parallel extraction; the reference is single-GPU here,
+    compute_feats.py:200-266)."""
     import jax.numpy as jnp
+
+    if mesh is not None:
+        from snuffy_tpu.parallel.ssl_sharding import shard_batch_global
+
+        dp = mesh.devices.size
+        if batch_size % dp:
+            batch_size += dp - batch_size % dp  # keep shards equal
 
     feats_out = []
     n = len(patch_paths)
@@ -121,7 +134,9 @@ def compute_bag_feats(
                 (batch_size - len(chunk),) + batch.shape[1:], batch.dtype
             )
             batch = np.concatenate([batch, pad])
-        feats, _ = embed_fn(backbone_params, head_params, jnp.asarray(batch))
+        batch = (shard_batch_global(batch, mesh) if mesh is not None
+                 else jnp.asarray(batch))
+        feats, _ = embed_fn(backbone_params, head_params, batch)
         feats_out.append(np.asarray(feats)[: len(chunk)])
     return np.concatenate(feats_out) if feats_out else np.zeros((0, 0))
 
@@ -200,15 +215,34 @@ def extract_dataset(
     img_size: int = 224,
     imagenet_norm: bool = False,
     num_workers: int = 0,
+    use_mesh: Optional[bool] = None,
 ) -> List[Tuple[str, int]]:
     """Full extraction: every bag under `<dataset>/single/<fold>` → one CSV
-    under out_dir, plus the dataset CSV. Returns the dataset rows."""
+    under out_dir, plus the dataset CSV. Returns the dataset rows.
+
+    Scale-out: with >1 local device the patch batches dp-shard across the
+    chips (`use_mesh=None` auto-enables; force with True/False); with >1
+    process (multi-host), hosts take disjoint bags by stride — extraction
+    is embarrassingly parallel across bags and each bag writes its own CSV.
+    """
+    import jax
+
     embed_fn = embedder.jit_apply(imagenet_norm=imagenet_norm)
+    if use_mesh is None:
+        use_mesh = jax.local_device_count() > 1
+    mesh = None
+    if use_mesh and jax.local_device_count() > 1:
+        from snuffy_tpu.parallel.ssl_sharding import dp_mesh
+
+        mesh = dp_mesh(local=True)
     patch_labels = load_patch_labels(tile_label_csv) if tile_label_csv else None
     pool = mp.Pool(num_workers) if num_workers > 0 else None
     rows: List[Tuple[str, int]] = []
+    bag_dirs = list_bags(dataset_path, fold)
+    if jax.process_count() > 1:
+        bag_dirs = bag_dirs[jax.process_index()::jax.process_count()]
     try:
-        for bag_dir in list_bags(dataset_path, fold):
+        for bag_dir in bag_dirs:
             patch_paths = sorted(
                 glob.glob(os.path.join(bag_dir, "*.jpg"))
                 + glob.glob(os.path.join(bag_dir, "*.jpeg"))
@@ -217,7 +251,7 @@ def extract_dataset(
                 continue
             feats = compute_bag_feats(
                 embed_fn, embedder.params, embedder.head_params, patch_paths,
-                batch_size, img_size, imagenet_norm, pool,
+                batch_size, img_size, imagenet_norm, pool, mesh=mesh,
             )
             slide = os.path.basename(bag_dir)
             # Output layout strips the fold dir: <out_dir>/<split>/<class>/

@@ -18,10 +18,13 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def dp_mesh(n_devices: int | None = None) -> Mesh:
+def dp_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """1-D dp mesh. `local=True` spans only THIS host's devices (for
+    per-host data parallelism where hosts already split the work, e.g.
+    extraction over disjoint bags)."""
     import numpy as np
 
-    devices = jax.devices()
+    devices = jax.local_devices() if local else jax.devices()
     n = n_devices or len(devices)
     return Mesh(np.asarray(devices[:n]).reshape(n), ("dp",))
 
@@ -57,7 +60,11 @@ def shard_batch_global(batch, mesh: Mesh):
 
     spec = P("dp", *([None] * (batch.ndim - 1)))
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
+    me = jax.process_index()
+    if jax.process_count() == 1 or all(
+        d.process_index == me for d in mesh.devices.flat
+    ):
+        # single process, or a host-LOCAL mesh: plain placement
         return jax.device_put(batch, sharding)
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(batch)

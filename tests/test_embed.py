@@ -344,3 +344,38 @@ def test_save_class_features_artifact_tree(tmp_path):
     shutil.copytree(out / "train", out2 / "train")
     assert save_class_features(str(out2), "x.csv", droped=1) is None
     assert not (out2 / "x.csv").exists()
+
+
+def test_dp_sharded_extraction_matches_single_device(tmp_path):
+    """compute_bag_feats with the batch dp-sharded over the 8-device mesh
+    returns the SAME features as plain single-placement extraction (the
+    multi-chip scale-out path of extract_dataset)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from snuffy_tpu.embed.pipeline import compute_bag_feats
+    from snuffy_tpu.embed.registry import build_embedder
+    from snuffy_tpu.parallel.ssl_sharding import dp_mesh
+
+    rng = np.random.default_rng(3)
+    bag = tmp_path / "bag"
+    os.makedirs(bag)
+    paths = []
+    for p in range(11):  # odd count: forces tail padding + shard rounding
+        arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        f = str(bag / f"{p}_{p}.jpeg")
+        Image.fromarray(arr).save(f)
+        paths.append(f)
+
+    emb = build_embedder(embedder="SimCLR", backbone="resnet18",
+                         num_classes=1, img_size=32)
+    fn = emb.jit_apply()
+    plain = compute_bag_feats(fn, emb.params, emb.head_params, paths,
+                              batch_size=4, img_size=32)
+    sharded = compute_bag_feats(fn, emb.params, emb.head_params, paths,
+                                batch_size=4, img_size=32,
+                                mesh=dp_mesh(8))
+    assert plain.shape == sharded.shape == (11, 512)
+    np.testing.assert_allclose(plain, sharded, rtol=2e-5, atol=2e-5)
