@@ -110,6 +110,10 @@ class MILTrainConfig:
     # Batched-bags mode: 0/1 keeps the reference per-bag-step semantics;
     # >1 averages grads over a batch of bags (the data-parallel unit on TPU).
     bag_batch_size: int = 1
+    # Multi-chip MIL training (batched mode only): None = auto (dp-only
+    # mesh when bag_batch_size divides over the chips), 1 = full dp×sp×tp
+    # factoring (loud validation), 0 = never (single device).
+    use_mesh: Optional[int] = None
     # Paths (reference train.py:41-47)
     embeddings_path: str = "embeddings/"
     save_path: str = "runs/"

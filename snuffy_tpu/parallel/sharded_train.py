@@ -86,11 +86,14 @@ def make_state_shardings(state: MILTrainState, mesh: Mesh):
 
 
 def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
-    """jitted (state, feats (B,N,D), masks (B,N), labels (B,C), lr, rng) →
-    (state, mean_loss, bag_scores (B,C)).
+    """jitted (state, feats (B,N,D), masks (B,N), labels (B,C), bag_w (B,),
+    lr, rng) → (state, losses (B,), bag_scores (B,C), ins_scores (B,N,C)).
 
-    One optimizer step per batch of bags; grads averaged over bags (and thus
-    psum'd over dp by XLA).
+    One optimizer step per batch of bags; the loss is the bag_w-weighted
+    mean (zero weights mark padding bags in a short tail batch — same
+    contract as SnuffyTrainer._batched_train_step, so the Runner can drive
+    either interchangeably); grads averaged over bags (and thus psum'd over
+    dp by XLA).
 
     With sp > 1 the model routes its gather/attention/scatter through the
     explicit shard_map ops (parallel/sp_attention.py) so the (N, d) residual
@@ -107,7 +110,7 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
         model = trainer.model
         vmap_kwargs = {}
 
-    def loss_fn(group, feats_b, masks_b, labels_b, rng):
+    def loss_fn(group, feats_b, masks_b, labels_b, bag_w, rng):
         def one_bag(feats, mask, label, key):
             k1, k2 = jax.random.split(key)
             ins_logits, bag_logits, _ = model.apply(
@@ -122,21 +125,24 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
                 if trainer.pos_weight is None
                 else jnp.asarray(trainer.pos_weight)
             )
-            return mixed_mil_loss(
+            loss, score = mixed_mil_loss(
                 ins_logits, bag_logits, label, mask, group["w"], pw
             )
+            return loss, score, jax.nn.sigmoid(ins_logits)
 
         keys = jax.random.split(rng, feats_b.shape[0])
-        losses, scores = jax.vmap(one_bag, **vmap_kwargs)(
+        losses, scores, ins = jax.vmap(one_bag, **vmap_kwargs)(
             feats_b, masks_b, labels_b, keys
         )
-        return jnp.mean(losses), scores
+        mean = jnp.sum(losses * bag_w) / jnp.maximum(jnp.sum(bag_w), 1.0)
+        return mean, (losses, scores, ins)
 
-    def step(state: MILTrainState, feats_b, masks_b, labels_b, lr, rng):
+    def step(state: MILTrainState, feats_b, masks_b, labels_b, bag_w, lr,
+             rng):
         group = {"model": state.params, "w": state.w}
-        (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            group, feats_b, masks_b, labels_b, rng
-        )
+        (_, (losses, scores, ins)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(group, feats_b, masks_b, labels_b, bag_w, rng)
         updates, opt_state = trainer.tx.update(grads, state.opt_state, group)
         mult = trainer.cfg.optim.single_weight_lr_multiplier
         new_params = jax.tree_util.tree_map(
@@ -145,8 +151,9 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
         new_w = jnp.clip(group["w"] - lr * mult * updates["w"], 0.0, 1.0)
         return (
             MILTrainState(new_params, new_w, opt_state, state.step + 1),
-            loss,
+            losses,
             scores,
+            ins,
         )
 
     # State shardings are inherited from the arrays' placement (shard_state);
@@ -158,6 +165,7 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
             bag_batch_sharding(mesh),
             bag_mask_sharding(mesh),
             label_sharding(mesh),
+            NamedSharding(mesh, P(BATCH_AXES)),
             None,
             None,
         ),

@@ -76,6 +76,41 @@ def make_optimizer(optim: OptimizerConfig, soft_average: bool) -> optax.Gradient
     )
 
 
+def _maybe_mesh(cfg: MILTrainConfig):
+    """Mesh for the batched-bags mode (multi-chip MIL training — the
+    reference is single-GPU here, SURVEY.md §2.14 TPU contract).
+
+    cfg.use_mesh: None = auto (dp-only mesh over every chip, engaged only
+    when bag_batch_size divides evenly — otherwise silently single-device,
+    so small-batch runs and tests keep the plain path); 1 = the full
+    dp×sp×tp factoring (factor_devices), validation errors raised loudly;
+    0 = never."""
+    if cfg.bag_batch_size <= 1 or jax.device_count() <= 1:
+        return None
+    want = cfg.use_mesh
+    if want is not None and int(want) == 0:
+        return None
+    from snuffy_tpu.parallel.mesh import (
+        MeshSpec,
+        factor_devices,
+        make_mesh,
+    )
+
+    procs = jax.process_count()
+    if want is not None and int(want) == 1:
+        spec = factor_devices(jax.device_count(), procs)
+        if cfg.bag_batch_size % (spec.dcn * spec.dp):
+            raise ValueError(
+                f"bag_batch_size={cfg.bag_batch_size} must divide over the "
+                f"batch axes dcn×dp={spec.dcn * spec.dp} (use_mesh=1)"
+            )
+        return make_mesh(spec, num_heads=cfg.model.num_heads)
+    n = jax.device_count()
+    if cfg.bag_batch_size % n:
+        return None
+    return make_mesh(MeshSpec(n // procs, 1, 1, dcn=procs))
+
+
 class SnuffyTrainer:
     """Owns the model/optimizer and the jitted step/epoch functions
     (counterpart of reference train.py Trainer/SmallWeightTrainer/Snuffy)."""
@@ -85,6 +120,7 @@ class SnuffyTrainer:
         self.model: MILNet = build_milnet(cfg.model)
         self.tx = make_optimizer(cfg.optim, cfg.soft_average)
         self.pos_weight: Optional[float] = None  # set for MIL datasets
+        self.mesh = _maybe_mesh(cfg)
         self._epoch_fns: Dict[Tuple[int, bool], Any] = {}
         self._eval_fns: Dict[int, Any] = {}
 
@@ -207,11 +243,22 @@ class SnuffyTrainer:
         )
 
     def train_bucket_batched_fn(self, n_pad: int, batch: int):
-        key = (n_pad, "batched", batch)
+        key = (n_pad, "batched", batch, self.mesh is not None)
         if key not in self._epoch_fns:
-            self._epoch_fns[key] = jax.jit(
-                self._batched_train_step, donate_argnums=(0,)
-            )
+            if self.mesh is not None:
+                # multi-chip: same (state, feats, masks, labels, bag_w, lr,
+                # rng) contract, batch sharded over the mesh's batch axes
+                from snuffy_tpu.parallel.sharded_train import (
+                    make_sharded_batch_train_step,
+                )
+
+                self._epoch_fns[key] = make_sharded_batch_train_step(
+                    self, self.mesh
+                )
+            else:
+                self._epoch_fns[key] = jax.jit(
+                    self._batched_train_step, donate_argnums=(0,)
+                )
         return self._epoch_fns[key]
 
     def eval_bucket_fn(self, n_pad: int):
@@ -288,6 +335,12 @@ class SnuffyTrainer:
                 l, s, ins = np.asarray(l), np.asarray(s), np.asarray(ins)
             else:
                 fn = self.train_bucket_batched_fn(n_pad, batch)
+                if self.mesh is not None:
+                    from snuffy_tpu.parallel.sharded_train import shard_state
+
+                    # idempotent placement: a no-op once the state already
+                    # carries the mesh shardings (steps donate + preserve)
+                    state = shard_state(state, self.mesh)
                 l_parts, s_parts, ins_parts = [], [], []
                 for start in range(0, len(idx), batch):
                     fb = feats_b[start:start + batch]

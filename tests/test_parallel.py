@@ -145,7 +145,9 @@ def test_sharded_step_matches_single_device_loss():
     with mesh:
         state = shard_state(trainer.init_state(0, example_n=n_pad), mesh)
         step = make_sharded_batch_train_step(trainer, mesh)
-        _, loss_sharded, _ = step(state, feats, masks, labels, lr, key)
+        _, losses_sh, _, _ = step(state, feats, masks, labels,
+                                  jnp.ones((batch,), jnp.float32), lr, key)
+        loss_sharded = jnp.mean(losses_sh)
 
     # Unsharded single-device equivalent (same rng stream, same math).
     trainer2 = SnuffyTrainer(cfg)
@@ -605,7 +607,9 @@ def test_sp_batched_step_with_tp_matches_single_device_loss():
     with mesh:
         state = shard_state(trainer.init_state(0, example_n=n_pad), mesh)
         step = make_sharded_batch_train_step(trainer, mesh)
-        _, loss_sharded, _ = step(state, feats, masks, labels, lr, key)
+        _, losses_sh, _, _ = step(state, feats, masks, labels,
+                                  jnp.ones((batch,), jnp.float32), lr, key)
+        loss_sharded = jnp.mean(losses_sh)
 
     state2 = trainer.init_state(0, example_n=n_pad)
 
@@ -649,3 +653,61 @@ def test_sp_model_dropout_mode_runs():
     )(params, feats_s, mask_s)
     assert np.isfinite(np.asarray(bag)).all()
     assert np.isfinite(np.asarray(ins)).all()
+
+
+def test_batched_epoch_auto_mesh_matches_single_device():
+    """run_train_epoch with bag_batch_size divisible by the 8 chips
+    auto-engages the dp mesh (cfg.use_mesh=None) and reproduces the
+    single-device batched mode bag-for-bag — the train.py --bag_batch_size
+    path is now a real multi-chip trainer, not a one-device batch."""
+    from snuffy_tpu.configs import (
+        MILTrainConfig,
+        OptimizerConfig,
+        SnuffyModelConfig,
+    )
+    from snuffy_tpu.train.runner import bucket_bags
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    def cfg_with(use_mesh):
+        return MILTrainConfig(
+            model=SnuffyModelConfig(
+                feats_size=16, num_heads=2, big_lambda=8,
+                random_patch_share=0.0, attention_dropout=0.0,
+                encoder_dropout=0.0, use_pallas=False,
+            ),
+            optim=OptimizerConfig(optimizer="adamw", lr=1e-3),
+            soft_average=True, bag_batch_size=8, use_mesh=use_mesh,
+        )
+
+    rng = np.random.default_rng(5)
+    labels = [np.asarray([float(i % 2)], np.float32) for i in range(16)]
+    feats = [rng.standard_normal((int(rng.integers(40, 60)), 16))
+             .astype(np.float32) for _ in range(16)]
+
+    results = {}
+    for mode in (0, None):  # 0 = forced single-device, None = auto mesh
+        trainer = SnuffyTrainer(cfg_with(mode))
+        assert (trainer.mesh is not None) == (mode is None)
+        state = trainer.init_state(0)
+        host = np.random.default_rng(7)
+        bucketed = bucket_bags(labels, feats, rng=host)
+        state, losses, scores, _, order = trainer.run_train_epoch(
+            state, bucketed, 1e-3, host, seed=3
+        )
+        results[mode] = (losses, scores, order,
+                         jax.tree_util.tree_leaves(state.params))
+
+    l0, s0, o0, p0 = results[0]
+    l1, s1, o1, p1 = results[None]
+    np.testing.assert_array_equal(o0, o1)
+    # The epoch runs 2 chunks; chunk 2's losses/scores are computed from
+    # the state AFTER chunk 1's optimizer step, so their equality verifies
+    # the sharded update itself. Raw param equality is NOT asserted: dp
+    # psum reduction order perturbs near-cancelling bias grads (~1e-6 abs)
+    # which Adam's normalizer amplifies on ~1e-5-scale leaves — a float
+    # associativity artifact, not a math difference.
+    np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-5)
+    for a, b in zip(p0, p1):
+        assert np.all(np.isfinite(np.asarray(b)))
+        assert np.asarray(a).shape == np.asarray(b).shape

@@ -80,6 +80,11 @@ def get_args_parser():
     parser.add_argument("--bag_batch_size", default=1, type=int,
                         help="bags per optimizer step (1 = reference serial"
                              " semantics; >1 = batched grads for throughput)")
+    parser.add_argument("--use_mesh", default=None, type=int,
+                        choices=[0, 1],
+                        help="multi-chip MIL training (bag_batch_size>1): "
+                             "unset = auto dp over all chips when the batch "
+                             "divides; 1 = full dp*sp*tp mesh; 0 = one chip")
     parser.add_argument("--remat", default=0, choices=[0, 1], type=int,
                         help="rematerialize encoder layers in backward "
                              "(jax.checkpoint): ~1/3 more FLOPs for "
@@ -150,6 +155,7 @@ def build_config(args):
         roc_run_epoch=args.roc_run_epoch,
         roc_data_split=args.roc_data_split,
         bag_batch_size=args.bag_batch_size,
+        use_mesh=args.use_mesh,
     )
 
 
