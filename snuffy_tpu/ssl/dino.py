@@ -147,6 +147,7 @@ class DINOTrainer:
         self.optimizer = optimizer
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
+        self._eval_fn = None
 
     # ------------------------------------------------------------- building
 
@@ -390,13 +391,24 @@ class DINOTrainer:
                   ) -> float:
         """Deterministic DINO loss on held-out crops (the reference's
         per-epoch validation pass, main_dino_adapter.py:567-594); head BN
-        (if any) uses the running averages."""
-        bn = state.bn_stats or {"student": {}, "teacher": {}}
-        s_out, _ = self.forward_views_bn(
-            state.student, bn["student"], globals_, locals_, True
-        )
-        t_out, _ = self.forward_views_bn(
-            state.teacher, bn["teacher"], globals_, locals_[:0], True
-        )
-        loss, _ = self.dino_loss(s_out, t_out, state.center, teacher_temp)
-        return float(loss)
+        (if any) uses the running averages. Jitted: the eval forward must
+        go through XLA, not eager op-by-op dispatch — eager dispatch of
+        dp-sharded crops (the CLI's multi-chip valid path) aborted the
+        CPU client, and jit is what handles sharded operands anyway."""
+        if self._eval_fn is None:
+
+            def run(state, g, l, temp):
+                bn = state.bn_stats or {"student": {}, "teacher": {}}
+                s_out, _ = self.forward_views_bn(
+                    state.student, bn["student"], g, l, True
+                )
+                t_out, _ = self.forward_views_bn(
+                    state.teacher, bn["teacher"], g, l[:0], True
+                )
+                loss, _ = self.dino_loss(s_out, t_out, state.center, temp)
+                return loss
+
+            self._eval_fn = jax.jit(run)
+        return float(self._eval_fn(
+            state, globals_, locals_, jnp.asarray(teacher_temp, jnp.float32)
+        ))

@@ -96,6 +96,7 @@ class MAETrainer:
         self.use_bf16 = use_bf16
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
+        self._eval_fn = None
 
     def init_state(self, seed: int = 0) -> MAEState:
         k = jax.random.PRNGKey(seed)
@@ -157,12 +158,21 @@ class MAETrainer:
         return self._step_fn
 
     def eval_loss(self, state: MAEState, images, rng) -> float:
-        loss, _, _ = self.model.apply(
-            {"params": state.params}, self._to_model_dtype(jnp.asarray(images)),
-            self.mask_ratio, True,
-            rngs={"masking": rng},
-        )
-        return float(loss)
+        """Jitted (not eager op-by-op): eval must go through XLA so it
+        works with mesh-replicated state / dp-sharded batches (see
+        DINOTrainer.eval_loss) and doesn't pay per-op dispatch."""
+        if self._eval_fn is None:
+
+            def run(params, images, rng):
+                loss, _, _ = self.model.apply(
+                    {"params": params}, self._to_model_dtype(images),
+                    self.mask_ratio, True,
+                    rngs={"masking": rng},
+                )
+                return loss
+
+            self._eval_fn = jax.jit(run)
+        return float(self._eval_fn(state.params, jnp.asarray(images), rng))
 
 
 def host_check_finite(loss: float):
