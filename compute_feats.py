@@ -161,9 +161,33 @@ def main(argv=None):
     # Full artifact tree: per-split per-class CSVs + shuffled dataset CSV,
     # gated on --droped (reference compute_feats.py:548-587). Fold layouts
     # without split/class nesting fall back to the flat dataset CSV.
+    # Multi-host: ALL hosts must finish their bag shards before anyone
+    # globs the tree, and only process 0 writes it (otherwise the dataset
+    # CSV captures a mid-extraction partial view / races on shared FS).
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("compute_feats_extract_done")
+        if jax.process_index() != 0:
+            print(f"extracted {len(rows)} bags (host shard) → {out_dir}")
+            return rows
     all_df = save_class_features(out_dir, f"{args.dataset}.csv",
                                  droped=args.droped, seed=0)
     if all_df is None and args.droped == 0:
+        if jax.process_count() > 1:
+            # each host's `rows` covers only its bag shard; the flat
+            # fallback rebuilds the full row list from the shared tree
+            import glob as _glob
+
+            rows = sorted(
+                (p, (class_labels or {}).get(
+                    os.path.basename(os.path.dirname(p)), 0))
+                for p in _glob.glob(os.path.join(out_dir, "**", "*.csv"),
+                                    recursive=True)
+                if os.path.basename(p) != f"{args.dataset}.csv"
+            )
         write_dataset_csv(os.path.join(out_dir, f"{args.dataset}.csv"), rows)
     print(f"extracted {len(rows)} bags → {out_dir}")
     return rows

@@ -176,6 +176,14 @@ def train_dino(args):
     iters = len(batcher)
     if args.max_steps_per_epoch:
         iters = min(iters, args.max_steps_per_epoch)
+    # hosts must agree on the number of sharded steps per epoch, or the
+    # host with one extra batch launches a collective its peers never join
+    from snuffy_tpu.utils.metrics_sync import global_min_int
+
+    iters = global_min_int(iters)
+    n_val_batches = global_min_int(
+        min(len(valid_batcher), 5) if valid_batcher is not None else 0
+    )
     print(f"{len(paths)} images, {iters} iters/epoch, "
           f"{n_dev} device(s) x batch {args.batch_size_per_gpu}")
 
@@ -217,12 +225,28 @@ def train_dino(args):
             "epoch": 0,
         }
         with open(ckpt, "rb") as f:
-            payload = serialization.from_bytes(template, f.read())
-        state = state._replace(
-            student=payload["student"], teacher=payload["teacher"],
-            center=payload["center"], step=payload["step"],
-            opt_state=payload["opt_state"], bn_stats=payload["bn_stats"],
-        )
+            blob = f.read()
+        try:
+            payload = serialization.from_bytes(template, blob)
+            state = state._replace(
+                student=payload["student"], teacher=payload["teacher"],
+                center=payload["center"], step=payload["step"],
+                opt_state=payload["opt_state"], bn_stats=payload["bn_stats"],
+            )
+        except (ValueError, KeyError):
+            # pre-optimizer-state checkpoint layout: restore what it has,
+            # warn that the Adam moments restart from zero
+            legacy = {
+                "student": state.student, "teacher": state.teacher,
+                "center": state.center, "step": state.step, "epoch": 0,
+            }
+            payload = serialization.from_bytes(legacy, blob)
+            state = state._replace(
+                student=payload["student"], teacher=payload["teacher"],
+                center=payload["center"], step=payload["step"],
+            )
+            print("WARNING: legacy checkpoint without optimizer state — "
+                  "Adam moments reset to zero on this resume")
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {ckpt} at epoch {start_epoch}")
         # wandb-history-replay equivalent: keep each epoch's metrics exactly
@@ -271,7 +295,7 @@ def train_dino(args):
         if valid_batcher is not None:
             vl = []
             for bi, batch in enumerate(valid_batcher.epoch()):
-                if bi >= 5:
+                if bi >= n_val_batches:
                     break
                 key, k_aug = jax.random.split(key)
                 imgs = (shard_batch_global(batch, mesh) if mesh is not None
@@ -295,15 +319,11 @@ def train_dino(args):
         # are global, then write from process 0 only (the reference's
         # MetricLogger.synchronize_between_processes + is_main_process
         # gating, dino_adapter/utils.py:229-405,449-465).
-        if jax.process_count() > 1:
-            from snuffy_tpu.parallel.distributed import is_primary
-            from snuffy_tpu.utils.metrics_sync import sync_metrics
+        from snuffy_tpu.utils.metrics_sync import sync_epoch_row
 
-            row["n_train_batches"] = float(len(losses))
-            row = sync_metrics(row, weight_key="n_train_batches")
-            row["epoch"] = epoch
-            if not is_primary():
-                continue  # state is replicated; process 0 writes for all
+        row, is_writer = sync_epoch_row(row, len(losses))
+        if not is_writer:
+            continue  # state is replicated; process 0 writes for all
         print(json.dumps(row))
         with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -154,6 +154,16 @@ def train_mae(args):
         valid_batcher = ImageBatcher(vp, local_batch, args.input_size,
                                      args.num_workers, args.seed + 1)
 
+    # hosts must agree on the number of jitted steps per epoch (sharded
+    # train steps AND replicated-state eval programs are multi-controller
+    # executions — a host with one extra batch deadlocks its peers)
+    from snuffy_tpu.utils.metrics_sync import global_min_int
+
+    iters = global_min_int(iters)
+    n_val_batches = global_min_int(
+        min(len(valid_batcher), 10) if valid_batcher is not None else 0
+    )
+
     step = trainer.get_step()
     os.makedirs(args.output_dir, exist_ok=True)
     start_epoch = 0
@@ -167,10 +177,19 @@ def train_mae(args):
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step, "epoch": 0}
         with open(rolling, "rb") as f:
-            payload = serialization.from_bytes(template, f.read())
-        state = state._replace(params=payload["params"],
-                               opt_state=payload["opt_state"],
-                               step=payload["step"])
+            blob = f.read()
+        try:
+            payload = serialization.from_bytes(template, blob)
+            state = state._replace(params=payload["params"],
+                                   opt_state=payload["opt_state"],
+                                   step=payload["step"])
+        except (ValueError, KeyError):
+            legacy = {"params": state.params, "step": state.step, "epoch": 0}
+            payload = serialization.from_bytes(legacy, blob)
+            state = state._replace(params=payload["params"],
+                                   step=payload["step"])
+            print("WARNING: legacy checkpoint without optimizer state — "
+                  "Adam moments reset to zero on this resume")
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {rolling} at epoch {start_epoch}")
         # wandb-history-replay equivalent: keep each epoch's metrics exactly
@@ -215,7 +234,7 @@ def train_mae(args):
         if valid_batcher is not None:
             vl = []
             for bi, batch in enumerate(valid_batcher.epoch()):
-                if bi >= 10:
+                if bi >= n_val_batches:
                     break
                 key, k = jax.random.split(key)
                 vl.append(trainer.eval_loss(state, np.asarray(batch, np.uint8), k))
@@ -233,17 +252,10 @@ def train_mae(args):
         # the reference's misc.all_reduce_mean + save_on_master
         # (mae_adapter/util/misc.py:29-147,251-263). sync_metrics is
         # symmetric, so best_val below stays identical on every process.
-        if jax.process_count() > 1:
-            from snuffy_tpu.parallel.distributed import is_primary
-            from snuffy_tpu.utils.metrics_sync import sync_metrics
+        from snuffy_tpu.utils.metrics_sync import sync_epoch_row
 
-            row["n_train_batches"] = float(len(losses))
-            row = sync_metrics(row, weight_key="n_train_batches")
-            row["epoch"] = epoch
-            val_loss = row["val_loss"]
-            primary = is_primary()
-        else:
-            primary = True
+        row, primary = sync_epoch_row(row, len(losses))
+        val_loss = row["val_loss"]
         if primary:
             print(json.dumps(row))
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:

@@ -163,9 +163,14 @@ static float tile_edge_energy(const uint8_t* rgb, uint32_t n) {
   for (uint32_t y = 0; y < n; ++y) {
     const uint8_t* src = rgb + (size_t)y * n * 3;
     float* dst = g.data() + (size_t)(y + 1) * p + 1;
+    // cv2.cvtColor(RGB2GRAY) rounds to uint8 with these exact fixed-point
+    // coefficients ((R·9798 + G·19235 + B·3735 + 2^14) >> 15, verified
+    // bit-exact against cv2 4.x); keeping float gray here made borderline
+    // tiles classify differently between the fused pipeline and the
+    // Python tiler that built the bags.
     for (uint32_t x = 0; x < n; ++x)
-      dst[x] = 0.299f * src[x * 3] + 0.587f * src[x * 3 + 1] +
-               0.114f * src[x * 3 + 2];
+      dst[x] = (float)((src[x * 3] * 9798u + src[x * 3 + 1] * 19235u +
+                        src[x * 3 + 2] * 3735u + 16384u) >> 15);
   }
   for (uint32_t y = 1; y <= n; ++y) {           // reflect-101 columns
     g[(size_t)y * p] = g[(size_t)y * p + 2];

@@ -292,9 +292,17 @@ def predict_slide(
         timings["read_decode_s"] = t_decode
         n = n_done
 
+        if n == 0:
+            # all-background slide: no tissue tiles, no evidence — don't
+            # run the classifier on a bag whose feature dim is unknown
+            timings["embed_s"] = 0.0
+            timings["classify_s"] = 0.0
+            timings["total_s"] = time.perf_counter() - t_start
+            timings["n_patches"] = 0
+            return SlidePrediction(0.0, np.zeros((0,), np.float32), [],
+                                   timings)
+
         t0 = time.perf_counter()
-        if bag_buf is None:
-            bag_buf = jnp.zeros((n_alloc, 1), jnp.float32)
         np.asarray(bag_buf)   # fence: pure transfer, no program
         timings["embed_s"] = time.perf_counter() - t0
 
@@ -333,9 +341,14 @@ def predict_slide(
         feats, _ = embed_fn(embedder_params, embedder_head_params,
                             jnp.asarray(batch))
         feats_chunks.append(np.asarray(feats)[: len(chunk)])
-    feats = (np.concatenate(feats_chunks) if feats_chunks
-             else np.zeros((0, 1), np.float32))
     timings["embed_s"] = time.perf_counter() - t0
+    if not feats_chunks:
+        # all-background slide (see the fast path's identical early return)
+        timings["classify_s"] = 0.0
+        timings["total_s"] = time.perf_counter() - t_start
+        timings["n_patches"] = 0
+        return SlidePrediction(0.0, np.zeros((0,), np.float32), [], timings)
+    feats = np.concatenate(feats_chunks)
 
     t0 = time.perf_counter()
     padded, mask = pad_bag(feats.astype(np.float32))

@@ -266,7 +266,10 @@ def tile_slide_nested(
     derived from.)
 
     With one level this is exactly `tile_slide`. Returns the kept tuples of
-    the FINEST level (whose labels feed tile_label.csv)."""
+    the FINEST level — restricted to patches actually moved under a kept
+    low-mag parent (a high tile whose parent was background-filtered never
+    leaves the temporary directory, so returning it would put rows in
+    tile_label.csv for files that don't exist)."""
     if len(mag_levels) == 1:
         return tile_slide(slide_path, out_dir, cfg, annotation_xml,
                           mag_level=mag_levels[0])
@@ -288,6 +291,7 @@ def tile_slide_nested(
             stem = f.split(".")[0].split("-")[0]
             c, r = stem.split("_")
             hi_names[(int(c), int(r))] = f
+        moved = set()
         for col, row, _ in kept_lo:
             sub = None
             for dc in range(factor):
@@ -308,7 +312,8 @@ def tile_slide_nested(
                         fname = hi_names.pop(key)
                         shutil.move(os.path.join(hi_dir, fname),
                                     os.path.join(sub, fname))
-    return kept_hi
+                        moved.add(key)
+    return [(c, r, lab) for c, r, lab in kept_hi if (c, r) in moved]
 
 
 def append_tile_labels(

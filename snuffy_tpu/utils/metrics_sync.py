@@ -60,33 +60,86 @@ def sync_metrics(
     many samples and reduced count-weighted (exact global mean when hosts
     saw unequal batch counts); the count itself is summed.
 
-    None values pass through untouched (single-host optional metrics like
-    val_loss). Keys are sorted before the collective so the wire order is
-    identical on every process (reference utils.py:300-303).
+    None values ride the wire as NaN and are excluded per-key from the
+    reduction (a key that is None on EVERY host stays None). This keeps
+    the gathered vector the SAME length on every process even when hosts
+    disagree about which metrics they produced this epoch (e.g. a host
+    whose stride-shard had no validation batch) — dropping None keys
+    per-host would make the collective shapes mismatch across processes.
+    Keys are sorted before the collective so the wire order is identical
+    on every process (reference utils.py:300-303).
     """
     if _process_count() < 2:
         return dict(metrics)
-    keys = sorted(k for k, v in metrics.items() if v is not None)
+    keys = sorted(
+        k for k, v in metrics.items()
+        if v is None or isinstance(v, (int, float, np.floating, np.integer))
+    )
     if not keys:
         return dict(metrics)
-    vals = np.asarray([float(metrics[k]) for k in keys], np.float64)
+    vals = np.asarray(
+        [np.nan if metrics[k] is None else float(metrics[k]) for k in keys],
+        np.float64,
+    )
     rows = _allgather_rows(vals)  # (P, K)
     out = dict(metrics)
+
+    def reduce_col(col, w=None):
+        ok = np.isfinite(col)
+        if not ok.any():
+            return None
+        if w is not None:
+            denom = max(w[ok].sum(), 1.0)
+            return float((col[ok] * w[ok]).sum() / denom)
+        s = col[ok].sum()
+        return float(s / ok.sum()) if average else float(s)
+
     if weight_key is not None and weight_key in keys:
-        w = rows[:, keys.index(weight_key)]  # (P,) per-host counts
-        denom = max(w.sum(), 1.0)
+        w = np.nan_to_num(rows[:, keys.index(weight_key)])  # per-host counts
         for i, k in enumerate(keys):
             if k == weight_key:
-                out[k] = float(rows[:, i].sum())
+                out[k] = float(w.sum())
             else:
-                out[k] = float((rows[:, i] * w).sum() / denom)
+                out[k] = reduce_col(rows[:, i], w)
         return out
-    red = rows.sum(axis=0)
-    if average:
-        red = red / rows.shape[0]
     for i, k in enumerate(keys):
-        out[k] = float(red[i])
+        out[k] = reduce_col(rows[:, i])
     return out
+
+
+def sync_epoch_row(
+    metrics: Dict[str, Optional[float]],
+    n_batches: int,
+    weight_key: str = "n_train_batches",
+):
+    """Epoch-log sync shared by the SSL CLIs: count-weight the host-local
+    epoch means across processes and report whether THIS process is the
+    log writer (process 0). Single-process: identity, always a writer.
+    The `epoch` key passes through un-reduced."""
+    if _process_count() < 2:
+        return dict(metrics), True
+    epoch = metrics.get("epoch")
+    row = dict(metrics)
+    row[weight_key] = float(n_batches)
+    row = sync_metrics(row, weight_key=weight_key)
+    row["epoch"] = epoch
+    return row, jax.process_index() == 0
+
+
+def global_min_int(value: int) -> int:
+    """Smallest `value` across processes (1-process: identity).
+
+    Multi-host training loops MUST agree on how many collective steps they
+    run: stride-sharded image lists give hosts unequal batch counts under
+    drop_last, and a host that launches one more sharded step than its
+    peers deadlocks the run (the reference's DistributedSampler pads ranks
+    to equal length instead). Every per-epoch iteration bound in the CLIs
+    goes through this.
+    """
+    if _process_count() < 2:
+        return int(value)
+    rows = _allgather_rows(np.asarray([float(value)], np.float64))
+    return int(rows[:, 0].min())
 
 
 class SmoothedValue:

@@ -102,3 +102,48 @@ def test_mesh_metric_mean_real_collective():
     out = jax.jit(lambda x: ms.mesh_metric_mean(x, mesh))(x)
     assert float(out) == pytest.approx(3.5)
     assert out.shape == ()
+
+
+def test_sync_metrics_none_on_one_host_only(monkeypatch):
+    """A key that is None on THIS host but measured on another (e.g. a
+    host whose stride-shard had no validation batch) must still ride the
+    wire — same vector length on every process — and reduce over the
+    hosts that have it."""
+    def fake_gather(vals):
+        other = np.where(np.isnan(vals), 7.0, vals + 1.0)
+        return np.stack([vals, other], axis=0)
+
+    monkeypatch.setattr(ms, "_process_count", lambda: 2)
+    monkeypatch.setattr(ms, "_allgather_rows", fake_gather)
+    out = ms.sync_metrics({"train_loss": 2.0, "val_loss": None, "n": 3.0},
+                          weight_key="n")
+    assert out["n"] == pytest.approx(7.0)          # 3 + 4
+    # val_loss: only the fake host has it (7.0), weighted by ITS count 4
+    assert out["val_loss"] == pytest.approx(7.0)
+    assert out["train_loss"] == pytest.approx((2 * 3 + 3 * 4) / 7)
+
+
+def test_global_min_int(monkeypatch):
+    assert ms.global_min_int(5) == 5  # single process: identity
+
+    def fake_gather(vals):
+        return np.stack([vals, vals - 2.0], axis=0)
+
+    monkeypatch.setattr(ms, "_process_count", lambda: 2)
+    monkeypatch.setattr(ms, "_allgather_rows", fake_gather)
+    assert ms.global_min_int(5) == 3  # min(5, 3) — the deadlock guard
+
+
+def test_sync_epoch_row(two_processes, monkeypatch):
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    row, writer = ms.sync_epoch_row(
+        {"epoch": 4, "train_loss": 4.0, "val_loss": None}, n_batches=3
+    )
+    assert writer is True
+    assert row["epoch"] == 4                       # passes through
+    assert row["n_train_batches"] == pytest.approx(7.0)  # 3 + 4
+    assert row["train_loss"] == pytest.approx((4 * 3 + 5 * 4) / 7)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    _, writer = ms.sync_epoch_row({"epoch": 0, "x": 1.0}, n_batches=1)
+    assert writer is False

@@ -197,3 +197,37 @@ def test_mae_cli_resume_restores_opt_state(tmp_path, tiny_mae_factory):
         cli.get_args_parser().parse_args(argv + ["--epochs=3"])
     )
     assert int(np.asarray(state2.step)) == 6
+
+
+def test_dino_cli_resumes_legacy_checkpoint(tmp_path, tiny_vit_factories):
+    """A pre-optimizer-state rolling checkpoint (model-only layout) must
+    still resume — moments reset with a warning — instead of raising on
+    the stricter template (upgrade-path regression guard)."""
+    import numpy as np
+    from flax import serialization
+
+    import main_dino_adapter as cli
+
+    data = str(tmp_path / "imgs")
+    _make_image_folder(data)
+    argv = [
+        "--arch=vit_tiny", "--batch_size_per_gpu=4",
+        f"--data_path={data}", f"--output_dir={tmp_path}/out",
+        "--num_workers=0", "--img_size=32", "--global_size=32",
+        "--local_size=16", "--local_crops_number=2", "--out_dim=32",
+        "--warmup_epochs=1", "--max_steps_per_epoch=1",
+    ]
+    state1 = cli.train_dino(
+        cli.get_args_parser().parse_args(argv + ["--epochs=1"])
+    )
+    # rewrite the rolling checkpoint in the LEGACY (model-only) layout
+    legacy = {
+        "student": state1.student, "teacher": state1.teacher,
+        "center": state1.center, "step": state1.step, "epoch": 0,
+    }
+    with open(str(tmp_path / "out" / "checkpoint.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(legacy))
+    state2 = cli.train_dino(
+        cli.get_args_parser().parse_args(argv + ["--epochs=2"])
+    )
+    assert int(np.asarray(state2.step)) == 2  # resumed at epoch 1, +1 step

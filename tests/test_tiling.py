@@ -230,3 +230,40 @@ def test_nested_two_level_pyramid(tmp_path):
             hc, hr = (int(x) for x in f.split(".")[0].split("-")[0].split("_"))
             assert hc // 2 == c and hr // 2 == r
     assert kept_hi  # finest-level tuples feed tile_label.csv
+
+
+def test_native_edge_energy_bit_compatible_with_cv2():
+    """The C grid reader's per-tile energy must equal the Python tiler's
+    cv2 filter EXACTLY (fixed-point RGB2GRAY + f32 Laplacian on integer
+    grays is exact arithmetic both sides) — otherwise borderline tiles
+    classify differently between the fused pipeline and the tiler that
+    built the training bags."""
+    import tempfile
+
+    from snuffy_tpu import native
+    from snuffy_tpu.tiling.deepzoom import edge_energy
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    tiles = [
+        rng.integers(0, 256, (64, 64, 3), np.uint8),            # strong
+        np.full((64, 64, 3), 200, np.uint8),                    # flat
+        (rng.integers(0, 8, (64, 64, 3)) + 120).astype(np.uint8),  # faint
+        rng.integers(100, 140, (64, 64, 3)).astype(np.uint8),   # borderline
+    ]
+    level0 = np.zeros((128, 128, 3), np.uint8)
+    level0[:64, :64] = tiles[0]
+    level0[:64, 64:] = tiles[1]
+    level0[64:, :64] = tiles[2]
+    level0[64:, 64:] = tiles[3]
+    path = tempfile.mktemp(suffix=".tif")
+    native.write_tiled_tiff(path, [level0], tile=64, jpeg_quality=100)
+    slide = native.NativeSlide(path)
+    grid, energy = slide.read_grid(0, 64, 2, 2, 0)
+    slide.close()
+    os.remove(path)
+    for i in range(4):
+        assert abs(float(energy[i]) - edge_energy(grid[i])) < 1e-4
