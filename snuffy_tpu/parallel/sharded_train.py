@@ -179,3 +179,52 @@ def shard_state(state: MILTrainState, mesh: Mesh) -> MILTrainState:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, sh
     )
+
+
+def fetch_batch_outputs(*arrays):
+    """Per-bag step outputs (sharded over the batch axes) → host numpy.
+
+    Multi-host, `np.asarray` on a (dcn, dp)-sharded output raises (the
+    array spans non-addressable devices); every host needs the full
+    per-bag vectors for its epoch logs/metrics, so allgather them.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return tuple(np.asarray(a) for a in arrays)
+    from jax.experimental import multihost_utils
+
+    return tuple(
+        np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        for a in arrays
+    )
+
+
+def make_global_batch(mesh: Mesh, feats_b, masks_b, labels_b, bag_w):
+    """Host-local numpy bag batch → the global jax.Arrays the sharded step
+    was pinned to.
+
+    Single-process this is a no-op (jit places numpy per its
+    in_shardings); with multiple controllers jit REJECTS raw numpy for
+    non-replicated shardings, so each array is assembled with
+    `make_array_from_callback` — every host holds the identical full
+    batch (the MIL Runner loads the same dataset everywhere), and each
+    device fetches its own index slice.
+    """
+    if jax.process_count() == 1:
+        return feats_b, masks_b, labels_b, bag_w
+    shardings = (
+        bag_batch_sharding(mesh),
+        bag_mask_sharding(mesh),
+        label_sharding(mesh),
+        NamedSharding(mesh, P(BATCH_AXES)),
+    )
+    import numpy as np
+
+    out = []
+    for a, s in zip((feats_b, masks_b, labels_b, bag_w), shardings):
+        a = np.asarray(a)
+        out.append(jax.make_array_from_callback(
+            a.shape, s, lambda idx, a=a: a[idx]
+        ))
+    return tuple(out)

@@ -361,15 +361,29 @@ class SnuffyTrainer:
                     bag_w = np.zeros((batch,), np.float32)
                     bag_w[:n_real] = 1.0
                     key, sub = jax.random.split(key)
+                    if self.mesh is not None:
+                        from snuffy_tpu.parallel.sharded_train import (
+                            make_global_batch,
+                        )
+
+                        fb, mb, lb, bag_w = make_global_batch(
+                            self.mesh, fb, mb, lb, bag_w
+                        )
                     state, lg, sg, ig = fn(
                         state,
-                        jnp.asarray(fb),
-                        jnp.asarray(mb),
-                        jnp.asarray(lb),
-                        jnp.asarray(bag_w),
+                        jnp.asarray(fb) if self.mesh is None else fb,
+                        jnp.asarray(mb) if self.mesh is None else mb,
+                        jnp.asarray(lb) if self.mesh is None else lb,
+                        jnp.asarray(bag_w) if self.mesh is None else bag_w,
                         jnp.asarray(lr, jnp.float32),
                         sub,
                     )
+                    if self.mesh is not None:
+                        from snuffy_tpu.parallel.sharded_train import (
+                            fetch_batch_outputs,
+                        )
+
+                        lg, sg, ig = fetch_batch_outputs(lg, sg, ig)
                     l_parts.append(np.asarray(lg)[:n_real])
                     s_parts.append(np.asarray(sg)[:n_real])
                     ins_parts.append(np.asarray(ig)[:n_real])

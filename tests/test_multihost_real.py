@@ -1,0 +1,100 @@
+"""REAL multi-host validation: two separate python processes form a
+jax.distributed CPU cluster (gloo, 4 virtual devices each) and run the
+actual multi-host code paths — no monkeypatched gathers anywhere.
+
+Covers: env-var `distributed.initialize`, `global_min_int` /
+`sync_metrics` / `sync_epoch_row` over the real wire (including the
+None-on-one-host case), `shard_batch_global`'s
+make_array_from_process_local_data branch, the dcn=2 sharded MIL train
+step, and the DINO CLI end to end with UNEQUAL per-host validation batch
+counts — the exact shape of the iteration-agreement deadlock the CLIs
+guard against (a hang here fails the test by timeout).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _make_images(root, n, size=32, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "a"), exist_ok=True)
+    for i in range(n):
+        arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, "a", f"{i}.jpeg"))
+
+
+def test_two_process_cluster_end_to_end(tmp_path):
+    work = str(tmp_path)
+    _make_images(os.path.join(work, "imgs"), 24)       # 12/12 per host
+    _make_images(os.path.join(work, "val"), 15, seed=1)  # 8/7 → 1 vs 0
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "COORDINATOR_ADDRESS", "NUM_PROCESSES",
+                        "PROCESS_ID")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "multihost_worker.py"),
+             str(pid), str(port), work],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=780)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host worker hung (collective deadlock?)")
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out[-4000:]}"
+        r = json.loads(line[-1][len("RESULT "):])
+        results[r["pid"]] = r
+
+    r0, r1 = results[0], results[1]
+    # deadlock guard agreed on the minimum
+    assert r0["global_min"] == r1["global_min"] == 3
+    # count-weighted metric sync incl. a key only host 1 measured
+    for r in (r0, r1):
+        assert r["sync_n"] == 7.0
+        assert abs(r["sync_train"] - (2 * 3 + 3 * 4) / 7) < 1e-6
+        assert r["sync_val"] == 7.0
+    # global array assembled from per-process rows: sum = 0*8 + 1*8
+    assert r0["shard_sum"] == r1["shard_sum"] == 8.0
+    # dcn=2 sharded MIL step: identical loss on both controllers
+    assert r0["mil_loss"] == r1["mil_loss"]
+    # DINO CLI: both hosts took the SAME number of steps (1 epoch × 1
+    # agreed batch), only process 0 wrote the log, and the logged means
+    # are the synced global values (val ran on 0 agreed batches → None)
+    assert r0["dino_step"] == r1["dino_step"] == 1
+    assert r0["wrote_log"] is True and r1["wrote_log"] is False
+    assert r0["dino_train_loss"] is not None
+    assert r0["dino_val_loss"] is None
