@@ -45,6 +45,19 @@ def test_two_process_cluster_end_to_end(tmp_path):
     work = str(tmp_path)
     _make_images(os.path.join(work, "imgs"), 24)       # 12/12 per host
     _make_images(os.path.join(work, "val"), 15, seed=1)  # 8/7 → 1 vs 0
+    # 4 extraction bags → stride-split 2 per host
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    for cls in ("a", "b"):
+        for s in range(2):
+            bag = os.path.join(work, "ds", "single", "fold1", "train",
+                               cls, f"slide_{cls}{s}")
+            os.makedirs(bag)
+            for p in range(3):
+                arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(bag, f"{p}_{p}.jpeg"))
 
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -98,3 +111,8 @@ def test_two_process_cluster_end_to_end(tmp_path):
     assert r0["wrote_log"] is True and r1["wrote_log"] is False
     assert r0["dino_train_loss"] is not None
     assert r0["dino_val_loss"] is None
+    # extraction: 4 bags stride-split 2/2, all CSVs on disk after the
+    # real sync_global_devices barrier (dp-sharded patch batches on each
+    # host's local mesh)
+    assert r0["extract_rows"] == r1["extract_rows"] == 2
+    assert r0["extract_csvs"] == 4

@@ -154,4 +154,29 @@ if out["wrote_log"]:
     out["dino_train_loss"] = rows[-1]["train_loss"]
     out["dino_val_loss"] = rows[-1]["val_loss"]
 
+# --- 6. multi-host feature extraction ------------------------------------
+# Bags stride-split across hosts; the artifact tree is written AFTER a
+# real sync_global_devices barrier, by process 0 only (compute_feats.py).
+from snuffy_tpu.embed.registry import build_embedder  # noqa: E402
+from snuffy_tpu.embed.pipeline import extract_dataset  # noqa: E402
+
+emb = build_embedder(embedder="SimCLR", backbone="resnet18",
+                     num_classes=1, img_size=32)
+emb.init_head(0)
+rows = extract_dataset(
+    emb, f"{WORK}/ds", "fold1", f"{WORK}/emb",
+    class_labels={"a": 0, "b": 1}, batch_size=4, img_size=32,
+)
+out["extract_rows"] = len(rows)
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("worker_extract_check")
+if PID == 0:
+    import glob as _glob
+
+    # all four bag CSVs exist regardless of which host embedded them
+    out["extract_csvs"] = len([
+        p for p in _glob.glob(f"{WORK}/emb/**/*.csv", recursive=True)
+    ])
+
 print("RESULT " + json.dumps(out), flush=True)
