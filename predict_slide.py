@@ -39,6 +39,10 @@ def get_args_parser():
     p.add_argument("--workers", default=8, type=int)
     p.add_argument("--transform", default=0, type=int)
     p.add_argument("--bf16", default=1, type=int)
+    p.add_argument("--prefetch", default=None, type=int, choices=[0, 1],
+                   help="decode-prefetch thread in the streaming path: "
+                        "unset = auto (on when the host has >1 core), "
+                        "1/0 = force (see ROOFLINE.md §4)")
     return p
 
 
@@ -109,6 +113,7 @@ def main(argv=None):
             embed_size=args.embed_size,
             imagenet_norm=bool(args.transform),
             workers=args.workers,
+            prefetch=None if args.prefetch is None else bool(args.prefetch),
         )
         print(json.dumps({
             "slide": slide_path,
