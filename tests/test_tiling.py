@@ -267,3 +267,32 @@ def test_native_edge_energy_bit_compatible_with_cv2():
     os.remove(path)
     for i in range(4):
         assert abs(float(energy[i]) - edge_energy(grid[i])) < 1e-4
+
+
+def test_nested_pyramid_drops_orphan_high_tiles(tmp_path, monkeypatch):
+    """High-mag tiles whose low-mag parent was background-filtered never
+    leave the temp dir — they must NOT appear in the returned kept tuples
+    (which feed tile_label.csv) or rows would reference deleted files."""
+    from snuffy_tpu.tiling import deepzoom as dz
+
+    def fake_tile_slide(slide_path, out_dir, cfg, annotation_xml=None,
+                        mag_level=0):
+        os.makedirs(out_dir, exist_ok=True)
+        if mag_level == 0:  # high mag: parent of (5,5) is (2,2), NOT kept
+            kept = [(0, 0, 1), (0, 1, 0), (5, 5, 1)]
+            for c, r, _ in kept:
+                open(os.path.join(out_dir, f"{c}_{r}-0.jpeg"), "w").close()
+            return kept
+        open(os.path.join(out_dir, "0_0-1.jpeg"), "w").close()
+        return [(0, 0, None)]  # low mag keeps only (0,0)
+
+    monkeypatch.setattr(dz, "tile_slide", fake_tile_slide)
+    out = str(tmp_path / "bag")
+    kept_hi = dz.tile_slide_nested(
+        "unused.tif", out, dz.TilerConfig(workers=0), mag_levels=(0, 1)
+    )
+    assert kept_hi == [(0, 0, 1), (0, 1, 0)]  # orphan (5,5) dropped
+    moved = sorted(os.listdir(os.path.join(out, "0_0-1")))
+    assert moved == ["0_0-0.jpeg", "0_1-0.jpeg"]
+    # and the orphan file is gone with the temp dir
+    assert not any("5_5" in f for _, _, fs in os.walk(out) for f in fs)
