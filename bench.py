@@ -33,16 +33,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measured_baseline_bags_per_sec(default: float = 0.060) -> float:
+def _measured_baseline(key: str, default: float) -> float:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.json")) as f:
             base = json.load(f)
-        return float(
-            base["measured"]["reference_mil_train_bags_per_sec"]["value"]
-        )
+        return float(base["measured"][key]["value"])
     except Exception:
         return default
+
+
+def measured_baseline_bags_per_sec(default: float = 0.060) -> float:
+    return _measured_baseline("reference_mil_train_bags_per_sec", default)
 
 
 def bench_mil_train():
@@ -246,6 +248,14 @@ def main():
                     "mil_train_useful_mfu": round(mfu, 4),
                     "mil_train_flops_per_bag": train_flops,
                     "vit_s16_embeddings_per_sec_chip": round(emb_per_sec, 1),
+                    # vs the measured torch-CPU reference ViT forward in
+                    # THIS container (tools/bench_reference_torch.py
+                    # extract; recorded in BASELINE.json measured)
+                    "vs_reference_torch_extraction": round(
+                        emb_per_sec / _measured_baseline(
+                            "reference_vit_s16_imgs_per_sec", 11.67
+                        ), 1
+                    ),
                     "e2e_slide_latency_s": round(e2e_s, 4),
                     "e2e_embed_s": round(embed_s, 4),
                     "e2e_classify_s": round(classify_s, 4),

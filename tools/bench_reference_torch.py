@@ -55,7 +55,59 @@ def build_ref_milnet(feats_size=384, num_classes=1, num_heads=4,
     return ref_snuffy.MILNet(i_classifier, b_classifier)
 
 
+def bench_extraction(batch=8, iters=3):
+    """torch-CPU ViT-S/16 forward throughput through the reference's own
+    vision transformer (dino_adapter/vision_transformer_with_adapter.py,
+    imported as an oracle) — the baseline for the 'patch embeddings/sec'
+    headline. The reference extracts with no_grad batches
+    (compute_feats.py:200-266); same here, f32, eval mode."""
+    # the reference module imports a skimage-needing `utils`; stub it to
+    # just trunc_normal_ (same shim as tests/test_reference_parity.py)
+    import importlib.util
+    import os
+    import types
+
+    stub = types.ModuleType("utils")
+    stub.trunc_normal_ = torch.nn.init.trunc_normal_
+    sys.modules["utils"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "vits_dino", os.path.join(REF, "utils_ssls_cf",
+                                  "vision_transformer_dino.py")
+    )
+    ref_vit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_vit)
+
+    torch.manual_seed(0)
+    model = ref_vit.vit_small(patch_size=16)
+    model.eval()
+    x = torch.rand(batch, 3, 224, 224)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = (time.perf_counter() - t0) / iters
+    ips = batch / dt
+    print(f"reference torch-CPU ViT-S/16 extraction: {ips:.2f} img/s "
+          f"(batch {batch})")
+
+    with open("BASELINE.json") as f:
+        base = json.load(f)
+    base.setdefault("measured", {})["reference_vit_s16_imgs_per_sec"] = {
+        "value": round(ips, 2),
+        "unit": "img/s (ViT-S/16 fwd, f32, no_grad, torch-CPU batch 8)",
+        "hardware": "torch CPU (no CUDA in container); reference "
+                    "dino_adapter ViT, compute_feats.py:200-266 loop",
+    }
+    with open("BASELINE.json", "w") as f:
+        json.dump(base, f, indent=2)
+        f.write("\n")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "extract":
+        bench_extraction()
+        return
     torch.manual_seed(0)
     n, d, bags, iters = 10000, 384, 4, 2
     milnet = build_ref_milnet(feats_size=d)
