@@ -175,3 +175,42 @@ def test_train_cli_official_embeddings(tmp_path, monkeypatch):
     ])
     assert summary["best_epoch"] >= 1
     assert "test_best" in summary
+
+
+def test_export_torch_checkpoint_cli(tmp_path):
+    """msgpack MIL checkpoint → reference .pth via the converter CLI:
+    tensor count, shapes and the single_weight_parameter side file."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import export_torch_checkpoint as cli
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.models.snuffy import build_milnet, init_milnet_params
+
+    cfg = SnuffyModelConfig(feats_size=16, num_classes=1, num_heads=2,
+                            big_lambda=8, depth=2, use_pallas=False)
+    params = init_milnet_params(cfg, seed=0, n_example=32)
+    src = str(tmp_path / "5.msgpack")
+    with open(src, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": params, "w": np.float32(0.25),
+             "step": np.int32(10)}
+        ))
+    dst = str(tmp_path / "5.pth")
+    cli.main([src, dst])
+
+    import torch
+
+    sd = torch.load(dst, weights_only=True)
+    # 2 (i_cls) + depth*(8 attn + 4 ffn + 4 ln) + 2 (enc norm) + 2 (linear)
+    assert len(sd) == 2 + 2 * 16 + 2 + 2
+    assert sd["i_classifier.fc.0.weight"].shape == (1, 16)
+    assert sd["b_classifier.encoder.layers.1.feed_forward.w_1.weight"
+              ].shape == (64, 16)
+    w = torch.load(str(tmp_path / "5_single_weight_parameter.pth"),
+                   weights_only=True)
+    assert abs(float(w) - 0.25) < 1e-6

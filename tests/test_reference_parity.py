@@ -791,3 +791,72 @@ def test_dino_head_weight_norm_import_parity(ref_dino_head, tmp_path):
         np.asarray(loaded_rand["student"]["head"]["mlp_0"]["kernel"]),
         np.asarray(template["mlp_0"]["kernel"]),
     )
+
+
+def test_milnet_export_roundtrip_to_reference(ref_modules):
+    """Two-way interop: OUR trained MILNet exports to the reference's
+    .pth layout, the reference loads it with strict=True (full key
+    coverage), and both frameworks produce the same outputs — a user can
+    train here and keep serving in the PyTorch reference (its load path,
+    reference train.py:620-641 / roi.py:297-315)."""
+    import copy
+
+    import jax
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.embed.torch_export import export_milnet
+    from snuffy_tpu.models.snuffy import MILNet
+
+    ref_snuffy, _ = ref_modules
+    d, heads, lam, n, depth = 32, 4, 10, 40, 2
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=1, num_heads=heads, big_lambda=lam,
+        random_patch_share=0.0, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth, use_pallas=False,
+    )
+    model = MILNet(cfg)
+    rng = np.random.default_rng(0)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones((n,), bool)
+    import jax.numpy as jnp
+
+    jbag, jmask = jnp.asarray(bag), jnp.asarray(mask)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "sparse": jax.random.PRNGKey(4)},
+        jbag, jmask, True,
+    )
+    params = variables["params"]
+    ins, bag_logits, _ = model.apply(
+        {"params": params}, jbag, jmask, True,
+        rngs={"sparse": jax.random.PRNGKey(0)},
+    )
+
+    sd = export_milnet(params)
+    torch.manual_seed(0)
+    attn = ref_snuffy.MultiHeadedAttention(heads, d)
+    ff = ref_snuffy.PositionwiseFeedForward(d, d * 2, "relu", 0.0)
+    ref_model = ref_snuffy.MILNet(
+        ref_snuffy.FCLayer(in_size=d, out_size=1),
+        ref_snuffy.BClassifier(
+            ref_snuffy.Encoder(
+                ref_snuffy.EncoderLayer(
+                    d, copy.deepcopy(attn), copy.deepcopy(ff), 0.0, lam, 0.0
+                ),
+                depth,
+            ),
+            1, d,
+        ),
+    ).eval()
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+
+    with torch.no_grad():
+        ref_ins, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+    np.testing.assert_allclose(
+        np.asarray(ins), ref_ins.numpy()[0], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), ref_bag.numpy()[0], rtol=1e-4, atol=1e-5
+    )
