@@ -860,3 +860,73 @@ def test_milnet_export_roundtrip_to_reference(ref_modules):
     np.testing.assert_allclose(
         np.asarray(bag_logits), ref_bag.numpy()[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_milnet_export_roundtrip_multiclass(ref_modules):
+    """The export also strict-loads into the reference's MULTICLASS
+    MILNet (same module tree, C>1 head shapes) and reproduces outputs."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from snuffy_tpu.configs import SnuffyModelConfig
+    from snuffy_tpu.embed.torch_export import export_milnet
+    from snuffy_tpu.models.snuffy import MILNet
+
+    import importlib
+
+    sys.path.insert(0, REF)
+    try:
+        ref_mc = importlib.import_module("snuffy_multiclass")
+    finally:
+        sys.path.remove(REF)
+    d, heads, lam, n, depth, C = 32, 4, 10, 40, 2, 3
+    cfg = SnuffyModelConfig(
+        feats_size=d, num_classes=C, num_heads=heads, big_lambda=lam,
+        random_patch_share=0.0, mlp_multiplier=2, encoder_dropout=0.0,
+        attention_dropout=0.0, depth=depth, multiclass=True,
+        use_pallas=False,
+    )
+    model = MILNet(cfg)
+    rng = np.random.default_rng(1)
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    jbag, jmask = jnp.asarray(bag), jnp.ones((n,), bool)
+    params = model.init(
+        {"params": jax.random.PRNGKey(5), "sparse": jax.random.PRNGKey(6)},
+        jbag, jmask, True,
+    )["params"]
+    ins, bag_logits, _ = model.apply(
+        {"params": params}, jbag, jmask, True,
+        rngs={"sparse": jax.random.PRNGKey(0)},
+    )
+
+    sd = export_milnet(params)
+    torch.manual_seed(0)
+    attn = ref_mc.MultiHeadedAttention(heads, d)
+    ff = ref_mc.PositionwiseFeedForward(d, d * 2, "relu")
+    ref_model = ref_mc.MILNet(
+        ref_mc.FCLayer(in_size=d, out_size=C),
+        ref_mc.BClassifier(
+            ref_mc.Encoder(
+                ref_mc.EncoderLayer(
+                    d, copy.deepcopy(attn), copy.deepcopy(ff), C, 0.0,
+                    lam, 0.0
+                ),
+                depth,
+            ),
+            C, d,
+        ),
+    ).eval()
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    with torch.no_grad():
+        ref_ins, ref_bag, _ = ref_model(torch.from_numpy(bag)[None])
+    np.testing.assert_allclose(
+        np.asarray(ins), ref_ins.numpy()[0], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bag_logits), ref_bag.numpy()[0], rtol=1e-4, atol=1e-5
+    )
