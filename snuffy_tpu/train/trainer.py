@@ -362,27 +362,26 @@ class SnuffyTrainer:
                     bag_w[:n_real] = 1.0
                     key, sub = jax.random.split(key)
                     if self.mesh is not None:
+                        # multi-controller jit rejects raw numpy for
+                        # sharded in_shardings; outputs shard over the
+                        # batch axes and need an allgather to fetch
                         from snuffy_tpu.parallel.sharded_train import (
+                            fetch_batch_outputs,
                             make_global_batch,
                         )
 
                         fb, mb, lb, bag_w = make_global_batch(
                             self.mesh, fb, mb, lb, bag_w
                         )
+                    else:
+                        fb, mb, lb, bag_w = map(
+                            jnp.asarray, (fb, mb, lb, bag_w)
+                        )
                     state, lg, sg, ig = fn(
-                        state,
-                        jnp.asarray(fb) if self.mesh is None else fb,
-                        jnp.asarray(mb) if self.mesh is None else mb,
-                        jnp.asarray(lb) if self.mesh is None else lb,
-                        jnp.asarray(bag_w) if self.mesh is None else bag_w,
-                        jnp.asarray(lr, jnp.float32),
-                        sub,
+                        state, fb, mb, lb, bag_w,
+                        jnp.asarray(lr, jnp.float32), sub,
                     )
                     if self.mesh is not None:
-                        from snuffy_tpu.parallel.sharded_train import (
-                            fetch_batch_outputs,
-                        )
-
                         lg, sg, ig = fetch_batch_outputs(lg, sg, ig)
                     l_parts.append(np.asarray(lg)[:n_real])
                     s_parts.append(np.asarray(sg)[:n_real])
