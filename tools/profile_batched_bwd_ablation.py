@@ -8,7 +8,6 @@ All outputs are scalars (grads folded in) so nothing times the host link;
 every timing fences with a host fetch. Run on the real chip.
 """
 
-import functools
 import sys
 import time
 
