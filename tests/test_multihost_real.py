@@ -111,6 +111,10 @@ def test_two_process_cluster_end_to_end(tmp_path):
     assert r0["wrote_log"] is True and r1["wrote_log"] is False
     assert r0["dino_train_loss"] is not None
     assert r0["dino_val_loss"] is None
+    # MAE CLI: equal steps both hosts (24 imgs → 12/12 local rows → 1
+    # agreed batch), best-val checkpoint written by process 0 only
+    assert r0["mae_step"] == r1["mae_step"] == 1
+    assert len(r0["mae_best"]) == 1 and r1["mae_best"] == []
     # extraction: 4 bags stride-split 2/2, all CSVs on disk after the
     # real sync_global_devices barrier (dp-sharded patch batches on each
     # host's local mesh)

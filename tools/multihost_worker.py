@@ -154,6 +154,38 @@ if out["wrote_log"]:
     out["dino_train_loss"] = rows[-1]["train_loss"]
     out["dino_val_loss"] = rows[-1]["val_loss"]
 
+# --- 5b. MAE CLI end to end ----------------------------------------------
+# Covers its own loop code under real multi-host: uint8 batch sharding,
+# global blr rule, synced val means, best-val checkpoint on process 0.
+from snuffy_tpu.models import mae as mae_mod  # noqa: E402
+
+
+def tiny_mae(**kw):
+    kw.pop("patch_size", None)
+    return mae_mod.MaskedAutoencoderViT(
+        patch_size=8, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2.0, **kw,
+    )
+
+
+mae_mod.mae_vit_base_patch16 = tiny_mae
+
+import main_pretrain_adapter as mae_cli  # noqa: E402
+
+mae_args = mae_cli.get_args_parser().parse_args([
+    "--model=mae_vit_base_patch16", "--epochs=1", "--batch_size=2",
+    f"--data_path={WORK}/imgs", f"--valid_data_path={WORK}/imgs",
+    f"--output_dir={WORK}/mae{PID}", "--num_workers=0",
+    "--input_size=32", "--warmup_epochs=1",
+])
+mae_state = mae_cli.train_mae(mae_args)
+out["mae_step"] = int(np.asarray(mae_state.step))
+out["mae_best"] = sorted(
+    f for f in os.listdir(f"{WORK}/mae{PID}")
+    if f.startswith("checkpoint-best-")
+)
+
 # --- 6. multi-host feature extraction ------------------------------------
 # Bags stride-split across hosts; the artifact tree is written AFTER a
 # real sync_global_devices barrier, by process 0 only (compute_feats.py).
