@@ -711,3 +711,48 @@ def test_batched_epoch_auto_mesh_matches_single_device():
     for a, b in zip(p0, p1):
         assert np.all(np.isfinite(np.asarray(b)))
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_batched_epoch_forced_full_mesh_runs():
+    """cfg.use_mesh=1 forces the full dp×sp×tp factoring through the
+    Runner-facing epoch API (not just the raw step): one epoch executes,
+    losses are finite, and invalid batch sizes are rejected loudly."""
+    from snuffy_tpu.configs import (
+        MILTrainConfig,
+        OptimizerConfig,
+        SnuffyModelConfig,
+    )
+    from snuffy_tpu.train.runner import bucket_bags
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    def cfg_with(batch):
+        return MILTrainConfig(
+            model=SnuffyModelConfig(
+                feats_size=16, num_heads=2, big_lambda=8,
+                random_patch_share=0.0, attention_dropout=0.0,
+                encoder_dropout=0.0, use_pallas=False,
+            ),
+            optim=OptimizerConfig(optimizer="adamw", lr=1e-3),
+            soft_average=True, bag_batch_size=batch, use_mesh=1,
+        )
+
+    trainer = SnuffyTrainer(cfg_with(8))
+    assert trainer.mesh is not None
+    assert trainer.mesh.shape["sp"] > 1 and trainer.mesh.shape["tp"] > 1
+
+    rng = np.random.default_rng(9)
+    labels = [np.asarray([float(i % 2)], np.float32) for i in range(8)]
+    feats = [rng.standard_normal((48, 16)).astype(np.float32)
+             for _ in range(8)]
+    state = trainer.init_state(0)
+    host = np.random.default_rng(2)
+    bucketed = bucket_bags(labels, feats, rng=host)
+    state, losses, scores, _, order = trainer.run_train_epoch(
+        state, bucketed, 1e-3, host, seed=1
+    )
+    assert np.all(np.isfinite(losses)) and len(order) == 8
+    assert np.all((scores >= 0) & (scores <= 1))
+
+    # batch not divisible over dcn×dp → loud rejection at build time
+    with pytest.raises(ValueError, match="must divide"):
+        SnuffyTrainer(cfg_with(3))
