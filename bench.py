@@ -226,6 +226,61 @@ def bench_fused_e2e(emb, embed_fn, milnet_jit, params):
     return timings
 
 
+def bench_ssl_throughputs():
+    """DINO and MAE train-step throughputs (VERDICT r3 item 8) at the
+    ROOFLINE.md §5 operating points — so every headline path lands in
+    BENCH_r*.json. MAE runs WITH the device-side reference augmentation
+    (RandomResizedCrop+hflip+normalize), which should be ~free at 31% MFU.
+    Short runs: 5 timed iters each, one end fence."""
+    from snuffy_tpu.models.mae import mae_vit_base_patch16
+    from snuffy_tpu.models.vit import vit_small
+    from snuffy_tpu.ssl.dino import DINOTrainer
+    from snuffy_tpu.ssl.mae_trainer import MAETrainer
+
+    rng = np.random.default_rng(0)
+
+    backbone = vit_small(patch_size=16, use_adapter=True,
+                         adapter_bottleneck=32, compute_dtype="bfloat16")
+    tr = DINOTrainer(backbone, out_dim=65536, n_local_crops=8,
+                     freeze_backbone=True, optimizer="adamw")
+    state = tr.init_state(0)
+    batch = 16
+    g = jnp.asarray(rng.random((2, batch, 224, 224, 3)), jnp.float32)
+    loc = jnp.asarray(rng.random((8, batch, 96, 96, 3)), jnp.float32)
+    step = tr.get_step()
+    args = (jnp.float32(5e-4), jnp.float32(0.04), jnp.float32(0.996),
+            jnp.float32(0.04), jnp.asarray(1, jnp.int32),
+            jax.random.PRNGKey(0))
+    state, loss = step(state, g, loc, *args)
+    float(np.asarray(loss))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, g, loc, *args)
+    float(np.asarray(loss))
+    dino_sps = batch * iters / (time.perf_counter() - t0)
+    del state, g, loc, step
+
+    model = mae_vit_base_patch16(use_adapter=True, adapter_bottleneck=64,
+                                 compute_dtype="bfloat16")
+    mtr = MAETrainer(model, mask_ratio=0.75, freeze_non_adapter=True,
+                     use_bf16=True, augment=True)
+    mstate = mtr.init_state(0)
+    mbatch = 64
+    imgs = jnp.asarray(rng.integers(0, 256, (mbatch, 224, 224, 3)),
+                       jnp.uint8)
+    mstep = mtr.get_step()
+    margs = (jnp.float32(1e-3), jax.random.PRNGKey(0))
+    mstate, mloss = mstep(mstate, imgs, *margs)
+    float(np.asarray(mloss))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mstate, mloss = mstep(mstate, imgs, *margs)
+    float(np.asarray(mloss))
+    mae_ips = mbatch * iters / (time.perf_counter() - t0)
+    return dino_sps, mae_ips
+
+
 def main():
     bags_per_sec, train_flops, mfu = bench_mil_train()
     emb, embed_fn, milnet_jit, params = build_inference_programs()
@@ -234,6 +289,8 @@ def main():
         emb_per_sec, milnet_jit, params
     )
     fused = bench_fused_e2e(emb, embed_fn, milnet_jit, params)
+    del emb, embed_fn, milnet_jit, params
+    dino_sps, mae_ips = bench_ssl_throughputs()
     baseline = measured_baseline_bags_per_sec()
     print(
         json.dumps(
@@ -269,6 +326,10 @@ def main():
                          for k, v in fused.items()}
                         if fused else None
                     ),
+                    # SSL pretraining steps at the ROOFLINE.md §5 points
+                    # (MAE includes the device-side reference augment)
+                    "dino_samples_per_sec": round(dino_sps, 1),
+                    "mae_img_per_sec": round(mae_ips, 1),
                     "reference_baseline_bags_per_sec": baseline,
                     "vs_5bags_per_sec_budget": round(bags_per_sec / 5.0, 1),
                 },

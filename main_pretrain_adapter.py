@@ -50,6 +50,17 @@ def get_args_parser():
     p.add_argument("--train_linears__linears_from_scratch",
                    default="[True, False]", type=str,
                    help="composite flag: train decoder linears / re-init them")
+    p.add_argument("--device_augment", default=True, type=bool_flag,
+                   help="apply the reference transform_train on device: "
+                        "RandomResizedCrop(input_size, scale=(0.2,1.0), "
+                        "bicubic) + hflip + ImageNet normalize (reference "
+                        "main_pretrain_adapter.py:155-161; applied to the "
+                        "validation split too, like the reference)")
+    p.add_argument("--raw_input_size", default=None, type=int,
+                   help="decode size fed to the device-side crop (defaults "
+                        "to input_size; set to the native tile size, e.g. "
+                        "256, so crops come from the full-resolution tile "
+                        "like torchvision cropping the original image)")
     p.add_argument("--max_steps_per_epoch", default=None, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str,
                    choices=["float32", "bfloat16"],
@@ -110,7 +121,13 @@ def train_mae(args):
         weight_decay=args.weight_decay,
         freeze_non_adapter=args.use_adapter,
         train_decoder_linears=train_linears,
+        augment=args.device_augment,
     )
+    # With device-side augmentation the host streams the RAW decode size
+    # and the jitted step crops to input_size (reference: torchvision
+    # crops the original PIL image, main_pretrain_adapter.py:156).
+    feed_size = (args.raw_input_size or args.input_size
+                 ) if args.device_augment else args.input_size
     state = trainer.init_state(args.seed)
 
     if args.finetune:
@@ -137,7 +154,7 @@ def train_mae(args):
     if jax.process_count() > 1:
         # hosts feed disjoint image subsets (DistributedSampler role)
         paths = paths[jax.process_index()::jax.process_count()]
-    batcher = ImageBatcher(paths, local_batch, args.input_size,
+    batcher = ImageBatcher(paths, local_batch, feed_size,
                            args.num_workers, args.seed)
     iters = len(batcher)
     if args.max_steps_per_epoch:
@@ -150,7 +167,7 @@ def train_mae(args):
         vp, _ = list_image_folder(args.valid_data_path)
         if jax.process_count() > 1:
             vp = vp[jax.process_index()::jax.process_count()]
-        valid_batcher = ImageBatcher(vp, local_batch, args.input_size,
+        valid_batcher = ImageBatcher(vp, local_batch, feed_size,
                                      args.num_workers, args.seed + 1)
 
     # hosts must agree on the number of jitted steps per epoch (sharded

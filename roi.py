@@ -8,6 +8,14 @@ Differences: embedder + aggregator checkpoints are this framework's
 formats (torch `.pth` imports for the embedder via compute_feats'
 importers; msgpack for the aggregator), and the WSI/mask reads go through
 the native libtiff reader instead of OpenSlide/ASAP.
+
+Deliberately omitted: the reference's `--use_softmax_one` flag. In the
+reference it is forwarded into the *dropout* parameter slot of
+`MultiHeadedAttention` (reference roi.py:327-329 passes it where
+`c(dropout)` is expected) — a latent bug: it never selects softmax-one
+attention, it silently sets dropout to a bool. Since the reference's
+snuffy.py has no softmax-one implementation either, the flag is a no-op
+with misleading semantics and is not reproduced here.
 """
 
 from __future__ import annotations

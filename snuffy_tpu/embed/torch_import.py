@@ -297,6 +297,38 @@ def import_resnet18(sd: Dict[str, np.ndarray], norm: str = "instance") -> dict:
     return tree
 
 
+def import_resnet50(sd: Dict[str, np.ndarray]) -> dict:
+    """torchvision resnet50 state dict → params for models.resnet.ResNet50
+    (the DINO ResNet-50 release layout, reference
+    dino_adapter/hubconf.py:84-99). Running BN stats → FrozenBatchNorm."""
+    sd = strip_prefixes(sd)
+    tree: dict = {}
+
+    def bn(flax_path, torch_key):
+        if f"{torch_key}.weight" not in sd:
+            return
+        _set(tree, flax_path + ("scale",), sd[f"{torch_key}.weight"])
+        _set(tree, flax_path + ("bias",), sd[f"{torch_key}.bias"])
+        _set(tree, flax_path + ("mean",), sd[f"{torch_key}.running_mean"])
+        _set(tree, flax_path + ("var",), sd[f"{torch_key}.running_var"])
+
+    _conv(tree, ("conv1",), sd, "conv1")
+    bn(("bn1",), "bn1")
+    for li, blocks in enumerate((3, 4, 6, 3), start=1):
+        for bi in range(blocks):
+            tp = f"layer{li}.{bi}"
+            fp = (f"layer{li}_{bi}",)
+            for c in ("conv1", "conv2", "conv3"):
+                _conv(tree, fp + (c,), sd, f"{tp}.{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                bn(fp + (b,), f"{tp}.{b}")
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv(tree, fp + ("downsample_conv",), sd,
+                      f"{tp}.downsample.0")
+                bn(fp + ("downsample_bn",), f"{tp}.downsample.1")
+    return tree
+
+
 def positional_rezip(sd: Dict[str, np.ndarray],
                      template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """DSMIL-SimCLR weights ship under foreign key names; the reference

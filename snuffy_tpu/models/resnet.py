@@ -89,6 +89,71 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (1×1 → 3×3 → 1×1, expansion 4), mirrored
+    name-for-name for checkpoint import (the DINO ResNet-50 release is a
+    torchvision resnet50 state dict — reference dino_adapter/hubconf.py:
+    84-99)."""
+
+    features: int          # bottleneck width; output is 4× this
+    stride: int = 1
+    norm: str = "batch"
+    dtype: object = None
+
+    def _norm(self, feats: int, name: str) -> nn.Module:
+        if self.norm == "batch":
+            return FrozenBatchNorm(feats, name=name)
+        return InstanceNorm()
+
+    @nn.compact
+    def __call__(self, x):
+        out_feats = self.features * 4
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(self._norm(self.features, "bn1")(y))
+        y = nn.Conv(self.features, (3, 3),
+                    strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(self._norm(self.features, "bn2")(y))
+        y = nn.Conv(out_feats, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = self._norm(out_feats, "bn3")(y)
+        if x.shape[-1] != out_feats or self.stride != 1:
+            residual = nn.Conv(out_feats, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = self._norm(out_feats, "downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """torchvision resnet50 with fc→Identity — the DINO ResNet-50 backbone
+    (reference dino_adapter/hubconf.py:84-99). Frozen inference/extraction
+    model: BatchNorm runs off imported running stats."""
+
+    norm: str = "batch"
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3) → (B, 2048)
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=cdt, name="conv1")(x)
+        y = (FrozenBatchNorm(64, name="bn1")(y) if self.norm == "batch"
+             else InstanceNorm()(y))
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        plan = [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]
+        for li, (feats, blocks, stride) in enumerate(plan, start=1):
+            for bi in range(blocks):
+                y = Bottleneck(feats, stride if bi == 0 else 1, self.norm,
+                               dtype=cdt, name=f"layer{li}_{bi}")(y)
+        return jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+
+
 class ResNet18(nn.Module):
     norm: str = "instance"
     # 'bfloat16' runs the convs on the MXU bf16 path; per-layer norms

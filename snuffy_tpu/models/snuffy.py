@@ -73,6 +73,24 @@ def _dense(features: int, init_name: str, name: str, dtype=None) -> nn.Dense:
     )
 
 
+class _ProjParams(nn.Module):
+    """Dense-layer parameters WITHOUT the matmul — lets two projections of
+    the same operand share ONE d→2d GEMM at apply time while the param
+    tree (and .pth interop) keeps the reference's separate wq/wv layout.
+    Param names/shapes are identical to nn.Dense's."""
+
+    features: int
+    init_name: str
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        kernel = self.param("kernel", get_weight_init(self.init_name),
+                            (d_in, self.features))
+        bias = self.param("bias", jax.nn.initializers.zeros,
+                          (self.features,))
+        return kernel, bias
+
+
 def compute_dtype_of(cfg: SnuffyModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -132,9 +150,26 @@ class MultiHeadedAttention(nn.Module):
         def split_heads(t):  # (L, d) -> (h, L, dk)
             return t.reshape(t.shape[0], h, dk).transpose(1, 0, 2)
 
-        q = split_heads(_dense(d, init, "wq", cdt)(query_src))
+        # q and v project the SAME operand (the caller passes LayerNorm(x)
+        # for both) — fuse them into one d→2d GEMM: at N=10240/d=384 a
+        # 384→768 GEMM runs in a better MXU efficiency class than two
+        # 384→384 GEMMs (ROOFLINE.md §1: 28.1 vs 76.9 TFLOP/s for the
+        # wider shapes). Params stay the reference's separate wq/wv.
+        qk_kernel, qk_bias = _ProjParams(d, init, name="wq")(d)
+        vk_kernel, vk_bias = _ProjParams(d, init, name="wv")(d)
+        if query_src is value_src:
+            fused_kernel = jnp.concatenate(
+                [qk_kernel, vk_kernel], axis=1).astype(cdt)
+            fused_bias = jnp.concatenate([qk_bias, vk_bias]).astype(cdt)
+            qv = query_src.astype(cdt) @ fused_kernel + fused_bias
+            q = split_heads(qv[:, :d])
+            v = split_heads(qv[:, d:])
+        else:
+            q = split_heads(query_src.astype(cdt) @ qk_kernel.astype(cdt)
+                            + qk_bias.astype(cdt))
+            v = split_heads(value_src.astype(cdt) @ vk_kernel.astype(cdt)
+                            + vk_bias.astype(cdt))
         k = split_heads(_dense(d, init, "wk", cdt)(key_tokens))
-        v = split_heads(_dense(d, init, "wv", cdt)(value_src))
 
         drop_rng = None
         rate = cfg.attention_dropout
@@ -248,7 +283,7 @@ class EncoderLayer(nn.Module):
             sel_tokens = sp_gather_rows(x, sel.indices, self.mesh)
         else:
             # jnp.take + at[].set are fine under vmap IN THE FULL PROGRAM:
-            # the flat-under-vmap row ops (ops/batched_rows.py) A/B'd to
+            # the flat-under-vmap row ops (ops/experimental/batched_rows.py) A/B'd to
             # zero change here — the batched-mode gap is vmap-vs-scan
             # backward fusion, not the scatters
             # (tools/profile_batched_step.py).

@@ -7,6 +7,6 @@ from snuffy_tpu.ops.selection import (  # noqa: F401
 from snuffy_tpu.ops.sparse_attention import (  # noqa: F401
     inverted_sparse_attention,
 )
-from snuffy_tpu.ops.dense_attention import (  # noqa: F401
-    fused_self_attention,
-)
+
+# Measured-but-unwired primitives live in snuffy_tpu.ops.experimental
+# (batched_rows, dense_attention) — see its docstring for the A/B evidence.

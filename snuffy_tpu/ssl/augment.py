@@ -22,9 +22,15 @@ def random_resized_crop(
     out_size: int,
     scale: Tuple[float, float] = (0.4, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    method: str = "bilinear",
 ) -> jnp.ndarray:
-    """Area-scaled random crop + bilinear resize (torchvision
-    RandomResizedCrop semantics, jit-static output size)."""
+    """Area-scaled random crop + resize (torchvision RandomResizedCrop
+    semantics, jit-static output size). Crop-parameter sampling is the
+    BYOL/MAE one-shot form (reference mae_adapter/util/crop.py:23-42:
+    area and aspect sampled once, sides clamped to the image — no
+    torchvision retry loop), which torchvision matches in distribution
+    whenever the clamp doesn't bind. `method` is 'bilinear' or 'bicubic'
+    (the MAE recipe uses bicubic, main_pretrain_adapter.py:156)."""
     h, w = img.shape[0], img.shape[1]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(k1, (), minval=scale[0], maxval=scale[1])
@@ -38,9 +44,11 @@ def random_resized_crop(
     cw = jnp.clip(cw, 8.0, w).astype(jnp.float32)
     y0 = jax.random.uniform(k3, ()) * (h - ch)
     x0 = jax.random.uniform(k4, ()) * (w - cw)
-    # Bilinear sample a static out_size×out_size grid over the crop window.
+    # Sample a static out_size×out_size grid over the crop window.
     ys = y0 + (ch - 1) * jnp.linspace(0.0, 1.0, out_size)
     xs = x0 + (cw - 1) * jnp.linspace(0.0, 1.0, out_size)
+    if method == "bicubic":
+        return _cubic_sample(img, ys, xs)
     return _bilinear_sample(img, ys, xs)
 
 
@@ -62,6 +70,36 @@ def _bilinear_sample(img, ys, xs):
         + c * wy * (1 - wx)
         + d * wy * wx
     )
+
+
+def _cubic_weights(t):
+    """Keys cubic kernel, a=-0.5 (PIL BICUBIC): weights for taps at
+    offsets (-1, 0, 1, 2) given fractional position t in [0, 1).
+    Reproduces degree-≤1 polynomials exactly."""
+    a = -0.5
+    d = jnp.stack([t + 1.0, t, 1.0 - t, 2.0 - t])   # |x| per tap
+    near = (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+    far = a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+    return jnp.where(d <= 1.0, near, far)
+
+
+def _cubic_sample(img, ys, xs):
+    """Separable 4×4-tap bicubic grid sample with edge clamping."""
+    h, w = img.shape[0], img.shape[1]
+    yb = jnp.floor(ys).astype(jnp.int32)
+    xb = jnp.floor(xs).astype(jnp.int32)
+    wy = _cubic_weights(ys - yb)            # (4, out)
+    wx = _cubic_weights(xs - xb)            # (4, out)
+    out = 0.0
+    for i in range(4):
+        yi = jnp.clip(yb + (i - 1), 0, h - 1)
+        rows = img[yi]                       # (out, W, C)
+        row_acc = 0.0
+        for j in range(4):
+            xj = jnp.clip(xb + (j - 1), 0, w - 1)
+            row_acc = row_acc + rows[:, xj] * wx[j][None, :, None]
+        out = out + row_acc * wy[i][:, None, None]
+    return out
 
 
 def random_hflip(key, img, p=0.5):
@@ -158,6 +196,29 @@ def dino_local_crop(key, img, out_size=96):
     x = random_grayscale(k[3], x)
     x = gaussian_blur(k[4], x, p=0.5)
     return normalize(x)
+
+
+def mae_train_augment(key, images, out_size, scale=(0.2, 1.0)):
+    """The MAE-adapter pretraining transform, device-side: per-image
+    RandomResizedCrop(out_size, scale=(0.2, 1.0), bicubic) + hflip(0.5)
+    + ImageNet normalize (reference mae_adapter/main_pretrain_adapter.py:
+    155-159 — `transform_train`, which the reference applies to BOTH the
+    train and validation ImageFolders, line 161).
+
+    images: (B, H, W, 3) float in [0, 1] (any static H, W — the crop
+    window is taken from the raw decode, like torchvision cropping the
+    original PIL image). Returns (B, out_size, out_size, 3) normalized.
+    """
+
+    def one(k, img):
+        k1, k2 = jax.random.split(k)
+        x = random_resized_crop(k1, img, out_size, scale=scale,
+                                method="bicubic")
+        x = random_hflip(k2, x)
+        return normalize(x)
+
+    b = images.shape[0]
+    return jax.vmap(one)(jax.random.split(key, b), images)
 
 
 def dino_multicrop_batch(key, images, n_local=8, global_size=224,

@@ -86,6 +86,8 @@ class MAETrainer:
         freeze_non_adapter: bool = True,
         train_decoder_linears: bool = False,
         use_bf16: bool = True,
+        augment: bool = False,
+        crop_scale: Tuple[float, float] = (0.2, 1.0),
     ):
         self.model = model
         self.mask_ratio = mask_ratio
@@ -94,6 +96,12 @@ class MAETrainer:
         self.freeze_non_adapter = freeze_non_adapter
         self.train_decoder_linears = train_decoder_linears
         self.use_bf16 = use_bf16
+        # Device-side RandomResizedCrop(0.2-1.0, bicubic) + hflip +
+        # ImageNet normalize — the reference's transform_train (reference
+        # main_pretrain_adapter.py:155-159). The reference applies it to
+        # the VALIDATION split too (line 161); eval_loss reproduces that.
+        self.augment = augment
+        self.crop_scale = crop_scale
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
         self._eval_fn = None
@@ -128,9 +136,27 @@ class MAETrainer:
             return images.astype(target) / 255.0
         return images.astype(target) if self.use_bf16 else images
 
+    def _prep(self, images, rng):
+        """uint8 → model input. With `augment`: scale to [0,1] in f32,
+        apply the reference transform_train on device (crop from the raw
+        decode size to model.img_size), then cast to compute dtype."""
+        if not self.augment:
+            return self._to_model_dtype(images)
+        from snuffy_tpu.ssl.augment import mae_train_augment
+
+        x = jnp.asarray(images)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = x.astype(jnp.float32)
+        x = mae_train_augment(rng, x, self.model.img_size,
+                              scale=self.crop_scale)
+        return x.astype(jnp.bfloat16) if self.use_bf16 else x
+
     def make_step(self):
         def step(state: MAEState, images, lr, rng):
-            imgs = self._to_model_dtype(images)
+            rng, aug_rng = jax.random.split(rng)
+            imgs = self._prep(images, aug_rng)
 
             def loss_fn(params):
                 loss, _, _ = self.model.apply(
@@ -160,12 +186,18 @@ class MAETrainer:
     def eval_loss(self, state: MAEState, images, rng) -> float:
         """Jitted (not eager op-by-op): eval must go through XLA so it
         works with mesh-replicated state / dp-sharded batches (see
-        DINOTrainer.eval_loss) and doesn't pay per-op dispatch."""
+        DINOTrainer.eval_loss) and doesn't pay per-op dispatch.
+
+        With `augment` on, validation images go through the SAME random
+        crop/flip transform — a deliberate reproduction of the reference,
+        which builds dataset_valid with transform_train
+        (main_pretrain_adapter.py:161)."""
         if self._eval_fn is None:
 
             def run(params, images, rng):
+                rng, aug_rng = jax.random.split(rng)
                 loss, _, _ = self.model.apply(
-                    {"params": params}, self._to_model_dtype(images),
+                    {"params": params}, self._prep(images, aug_rng),
                     self.mask_ratio, True,
                     rngs={"masking": rng},
                 )

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from snuffy_tpu.ops.batched_rows import gather_rows, scatter_set_rows
+from snuffy_tpu.ops.experimental.batched_rows import gather_rows, scatter_set_rows
 
 B, N, S, D = 3, 40, 12, 5
 

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from snuffy_tpu.ops.dense_attention import (
+from snuffy_tpu.ops.experimental.dense_attention import (
     _einsum_reference,
     _kernel_call,
     _pick_bz,
