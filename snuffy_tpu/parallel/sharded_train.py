@@ -100,15 +100,46 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
     stream keeps a true N/sp per-device shard; the bag vmap then needs
     `spmd_axis_name` so the batch axis stays sharded over (dcn, dp) through
     the manual regions instead of being all-gathered.
-    """
-    if sp_size(mesh) > 1:
-        from snuffy_tpu.models.snuffy import build_milnet
 
+    With sp == 1 the per-bag forward/backward runs inside a dp-MANUAL
+    shard_map (sp/tp axes stay GSPMD-auto, so Megatron tp still composes).
+    Pure GSPMD propagation is NOT enough here: left auto, XLA's scatter/
+    top-k partitioning replicates the per-bag (h, N, Λ) attention probs —
+    an all-gather of every bag's probs to every dp device, measured at
+    9.5 MB/step even at toy shapes (tests/test_collective_audit.py pins
+    the fix: the only collective left is the grad psum, whose size equals
+    the param count — the DDP-equivalent minimum). Bags never mix until
+    the loss mean, so each device can run its own bags start-to-finish.
+    """
+    import dataclasses
+
+    from jax.sharding import PartitionSpec
+
+    from snuffy_tpu.models.snuffy import build_milnet
+
+    tp = mesh.shape.get("tp", 1)
+    batch_extent = mesh.shape.get("dcn", 1) * mesh.shape.get("dp", 1)
+    if sp_size(mesh) > 1:
         model = build_milnet(trainer.cfg.model, mesh=mesh)
-        vmap_kwargs = {"spmd_axis_name": BATCH_AXES}
+        dp_manual = False
     else:
-        model = trainer.model
-        vmap_kwargs = {}
+        mcfg = trainer.cfg.model
+        if tp > 1 and mcfg.use_pallas:
+            # pallas_call has no GSPMD partitioning rule: left on the tp-auto
+            # axes, XLA replicates the kernel — an all-gather of every bag's
+            # padded (h, N, Λ) probs residual across tp, each layer, fwd and
+            # bwd. The einsum attention partitions cleanly over the head
+            # axis, so tp meshes use it (same math; ops/sparse_attention.py
+            # is the kernel's correctness oracle).
+            mcfg = dataclasses.replace(mcfg, use_pallas=False)
+            model = build_milnet(mcfg)
+        else:
+            model = trainer.model
+        # Manual axes of size 1 wrapped around a tp all-reduce trip an XLA
+        # SPMD RET_CHECK ("Cross-partition allreduce must be in (partial)
+        # manual partitioning mode"); with one batch shard there is nothing
+        # to keep local anyway.
+        dp_manual = batch_extent > 1
 
     def loss_fn(group, feats_b, masks_b, labels_b, bag_w, rng):
         def one_bag(feats, mask, label, key):
@@ -131,9 +162,25 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
             return loss, score, jax.nn.sigmoid(ins_logits)
 
         keys = jax.random.split(rng, feats_b.shape[0])
-        losses, scores, ins = jax.vmap(one_bag, **vmap_kwargs)(
-            feats_b, masks_b, labels_b, keys
-        )
+        if dp_manual:
+            # Each device maps over ITS OWN bag shard; `group` rides in by
+            # closure (replicated params — their cotangents psum over the
+            # manual axes; grads verified equal to the auto path at bf16
+            # noise). check_vma=False: the Pallas attention kernel has no
+            # varying-mesh-axes annotations.
+            bspec = PartitionSpec(BATCH_AXES)
+            losses, scores, ins = jax.shard_map(
+                lambda f, m, l, k: jax.vmap(one_bag)(f, m, l, k),
+                mesh=mesh,
+                in_specs=(bspec, bspec, bspec, bspec),
+                out_specs=(bspec, bspec, bspec),
+                axis_names={"dcn", "dp"},
+                check_vma=False,
+            )(feats_b, masks_b, labels_b, keys)
+        else:
+            losses, scores, ins = jax.vmap(
+                one_bag, spmd_axis_name=BATCH_AXES
+            )(feats_b, masks_b, labels_b, keys)
         mean = jnp.sum(losses * bag_w) / jnp.maximum(jnp.sum(bag_w), 1.0)
         return mean, (losses, scores, ins)
 
