@@ -43,6 +43,12 @@ def get_args_parser():
                    help="decode-prefetch thread in the streaming path: "
                         "unset = auto (on when the host has >1 core), "
                         "1/0 = force (see ROOFLINE.md §4)")
+    p.add_argument("--scaled_decode", default=None, type=int, choices=[0, 1],
+                   help="libjpeg M/8 scaled tile decode straight to "
+                        "embed_size (JPEG-tiled slides whose "
+                        "embed/tile ratio is M/8, e.g. 224/256 = 7/8): "
+                        "unset/1 = auto when eligible, 0 = always decode "
+                        "at tile_size + resize on device")
     return p
 
 
@@ -114,6 +120,8 @@ def main(argv=None):
             imagenet_norm=bool(args.transform),
             workers=args.workers,
             prefetch=None if args.prefetch is None else bool(args.prefetch),
+            scaled_decode=(None if args.scaled_decode is None
+                           else bool(args.scaled_decode)),
         )
         print(json.dumps({
             "slide": slide_path,

@@ -103,6 +103,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint32, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.slide_grid_jpeg_scaled_ok.restype = ctypes.c_int
+    lib.slide_grid_jpeg_scaled_ok.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32,
+    ]
+    lib.slide_read_grid_jpeg_scaled.restype = ctypes.c_int
+    lib.slide_read_grid_jpeg_scaled.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -186,6 +196,52 @@ class NativeSlide:
         )
         if rc != 0:
             raise IOError(f"slide_read_grid failed rc={rc}")
+        return tiles, energy
+
+    @staticmethod
+    def scale_num_for(read: int, out_side: int) -> Optional[int]:
+        """The libjpeg scale numerator M (denominator 8) that decodes a
+        `read`² JPEG tile directly at `out_side`², or None when out_side
+        is not an exact M/8 fraction of read (256→224 gives M=7)."""
+        if read <= 0 or not (0 < out_side <= 2 * read):
+            return None
+        num = out_side * 8
+        if num % read:
+            return None
+        m = num // read
+        return m if 1 <= m <= 16 and (read * m + 7) // 8 == out_side else None
+
+    def scaled_grid_ok(self, level: int, read: int, out_side: int) -> bool:
+        """True iff read_grid_scaled can serve this level: JPEG-tiled with
+        side `read`, and out_side is an exact M/8 scale of it."""
+        return (self.scale_num_for(read, out_side) is not None
+                and bool(self._lib.slide_grid_jpeg_scaled_ok(
+                    self._h, level, read)))
+
+    def read_grid_scaled(self, level: int, read: int, n_cols: int,
+                         n_rows: int, row0: int, out_side: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """slide_read_grid with libjpeg M/8 scaled IDCT decode: raw JPEG
+        tile bytes (+ the directory's shared JPEGTables) bypass libtiff's
+        codec and decode DIRECTLY at out_side² — for the 256-tile → 224-
+        embedder pipeline this deletes ~23% of decode work and upload
+        bytes plus the whole device-side resize (VERDICT r3 item 2). The
+        edge energies are computed at out_side (thresholds calibrated at
+        `read` apply approximately; the 7/8 IDCT drops only the top
+        frequency band)."""
+        m = self.scale_num_for(read, out_side)
+        if m is None:
+            raise ValueError(f"{out_side} is not an M/8 scale of {read}")
+        n = n_rows * n_cols
+        tiles = np.empty((n, out_side, out_side, 3), np.uint8)
+        energy = np.empty((n,), np.float32)
+        rc = self._lib.slide_read_grid_jpeg_scaled(
+            self._h, level, read, row0, n_cols, n_rows, m,
+            tiles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            energy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"slide_read_grid_jpeg_scaled failed rc={rc}")
         return tiles, energy
 
     def page_spacing_um(self, level: int) -> float:

@@ -149,6 +149,7 @@ def predict_slide(
                                   # Embedder.jit_apply(imagenet_norm=True)
     workers: int = 8,
     prefetch: Optional[bool] = None,
+    scaled_decode: Optional[bool] = None,
 ) -> SlidePrediction:
     """Fused WSI → bag-score inference.
 
@@ -183,18 +184,30 @@ def predict_slide(
     timings = {}
     t_start = time.perf_counter()
 
-    # Embed-stage resize runs ON DEVICE (see _wrap_device_resize) — both
-    # the streaming and fallback branches use the same program so their
-    # scores stay bit-comparable (tests/test_slide_inference.py).
-    if tiler_cfg.tile_size != embed_size:
-        embed_fn = _wrap_device_resize(embed_fn, embed_size)
-
     fast = False
+    scaled = False
     if native.available():
         slide, level, read, cols, rows = _grid_geometry(slide_path, tiler_cfg)
         fast = read == tiler_cfg.tile_size
+        if (fast and tiler_cfg.tile_size != embed_size
+                and scaled_decode is not False):
+            # JPEG-tiled levels whose tile→embed ratio is an exact M/8
+            # fraction (256→224 = 7/8) decode DIRECTLY at embed_size via
+            # libjpeg's scaled IDCT: ~23% less decode work AND upload
+            # bytes, and no resize program at all. The background filter
+            # then runs at embed_size (the 7/8 IDCT only drops the top
+            # frequency band; thresholds calibrated at tile_size carry
+            # over — tests/test_slide_inference.py checks keep/drop and
+            # score agreement vs the resize path).
+            scaled = slide.scaled_grid_ok(level, read, embed_size)
         if not fast:
             slide.close()
+
+    # Otherwise the embed-stage resize runs ON DEVICE (_wrap_device_resize)
+    # — the streaming and fallback branches share the program so their
+    # scores stay bit-comparable (tests/test_slide_inference.py).
+    if tiler_cfg.tile_size != embed_size and not scaled:
+        embed_fn = _wrap_device_resize(embed_fn, embed_size)
 
     if fast:
         # --- streaming fused path -------------------------------------
@@ -249,7 +262,11 @@ def predict_slide(
             nonlocal t_decode
             nb = min(block_rows, rows - r0)
             t0 = time.perf_counter()
-            tiles_blk, energy = slide.read_grid(level, read, cols, nb, r0)
+            if scaled:
+                tiles_blk, energy = slide.read_grid_scaled(
+                    level, read, cols, nb, r0, embed_size)
+            else:
+                tiles_blk, energy = slide.read_grid(level, read, cols, nb, r0)
             t_decode += time.perf_counter() - t0
             return tiles_blk, energy
 
