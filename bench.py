@@ -32,6 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from snuffy_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+# The relay recompiles every program per process (tens of seconds each;
+# the DINO/MAE train steps alone add ~10 min cold). The persistent cache
+# works through the relay, so a warmed .jax_cache turns this script from
+# compile-bound (~20 min) to measurement-bound (~5 min).
+_enable_compile_cache()
+
 
 def _measured_baseline(key: str, default: float) -> float:
     try:

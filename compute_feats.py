@@ -97,6 +97,8 @@ def build_and_load_embedder(args):
 
 
 def main(argv=None):
+    from snuffy_tpu.utils.compile_cache import enable as _cc
+    _cc()  # relay recompiles per process; the persistent cache works through it
     args = get_args_parser().parse_args(argv)
     validate_args(args)
     from snuffy_tpu.embed.pipeline import (

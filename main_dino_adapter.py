@@ -80,10 +80,18 @@ def get_args_parser():
     p.add_argument("--global_size", default=224, type=int)
     p.add_argument("--local_size", default=96, type=int)
     p.add_argument("--max_steps_per_epoch", default=None, type=int)
+    p.add_argument("--crop_pack", default=1, type=int,
+                   help="fold this many local crops into one student "
+                        "sequence with a block-diagonal attention mask "
+                        "(same math, bigger attention n — see "
+                        "tools/profile_crop_packing.py); must divide "
+                        "local_crops_number x batch")
     return p
 
 
 def train_dino(args):
+    from snuffy_tpu.utils.compile_cache import enable as _cc
+    _cc()  # relay recompiles per process; the persistent cache works through it
     import jax
     import jax.numpy as jnp
 
@@ -131,6 +139,7 @@ def train_dino(args):
         norm_last_layer=args.norm_last_layer,
         optimizer=args.optimizer,
         use_bn_in_head=args.use_bn_in_head,
+        crop_pack=args.crop_pack,
     )
     state = trainer.init_state(args.seed)
 

@@ -70,6 +70,8 @@ def get_args_parser():
 
 
 def train_mae(args):
+    from snuffy_tpu.utils.compile_cache import enable as _cc
+    _cc()  # relay recompiles per process; the persistent cache works through it
     import ast
 
     import jax

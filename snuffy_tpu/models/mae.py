@@ -173,8 +173,16 @@ class MaskedAutoencoderViT(nn.Module):
         mask_ratio: float = 0.75,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        pack: int = 1,
     ):
-        """Full MAE forward → (loss, pred (B,N,p²·3), mask (B,N))."""
+        """Full MAE forward → (loss, pred (B,N,p²·3), mask (B,N)).
+
+        `pack` > 1 folds groups of `pack` masked images into ONE encoder
+        sequence with a block-diagonal attention mask (each keeps its own
+        CLS; LayerNorm/MLP/adapter are per-token) — same math, but the
+        memory-bound n≈50 encoder attention runs at n≈50·pack
+        (ROOFLINE.md §5; VERDICT r3 item 3). The decoder is untouched:
+        its n=197 full sequence is already at that shape's ceiling."""
         x = self.patch_embed(imgs)
         pe = jnp.asarray(sincos_2d(self.embed_dim, self.grid))
         x = x + pe[:, 1:, :]
@@ -185,9 +193,19 @@ class MaskedAutoencoderViT(nn.Module):
             self.cls_token + pe[:, :1, :], (x.shape[0], 1, self.embed_dim)
         )
         x = jnp.concatenate([cls, x], axis=1)
+        b, n_vis, _ = x.shape
+        attn_mask = None
+        if pack > 1:
+            if b % pack:
+                raise ValueError(f"batch {b} not divisible by pack={pack}")
+            x = x.reshape(b // pack, pack * n_vis, self.embed_dim)
+            seg = jnp.repeat(jnp.arange(pack), n_vis)
+            attn_mask = jnp.where(seg[:, None] == seg[None, :], 0.0, -1e9)
         for blk in self.blocks:
-            x = blk(x, deterministic)
+            x = blk(x, deterministic, attn_mask=attn_mask, segments=pack)
         latent = self.enc_norm(x)
+        if pack > 1:
+            latent = latent.reshape(b, n_vis, self.embed_dim)
 
         # --- decoder
         y = self.decoder_embed(latent)

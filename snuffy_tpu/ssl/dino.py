@@ -118,6 +118,7 @@ class DINOTrainer:
         head_bottleneck_dim: int = 256,
         optimizer: str = "adamw",
         use_bn_in_head: bool = False,
+        crop_pack: int = 1,
     ):
         if optimizer not in ("adamw", "sgd", "lars"):
             raise KeyError(
@@ -145,6 +146,12 @@ class DINOTrainer:
         self.teacher_temp = teacher_temp
         self.warmup_teacher_temp_epochs = warmup_teacher_temp_epochs
         self.optimizer = optimizer
+        # Pack `crop_pack` local crops into ONE student sequence with a
+        # block-diagonal attention mask (VisionTransformer pack=): same
+        # math (tolerance-equal outputs, tests/test_ssl.py), but the
+        # n=37 local-crop attention — the memory-bound half of the DINO
+        # step (ROOFLINE.md §5) — runs at n=37·crop_pack. 1 disables.
+        self.crop_pack = crop_pack
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
         self._eval_fn = None
@@ -215,18 +222,21 @@ class DINOTrainer:
         if bn_train is None:
             bn_train = not deterministic
 
-        def run(crops):
+        def run(crops, pack=1):
             v, b = crops.shape[0], crops.shape[1]
+            if (v * b) % pack:
+                pack = 1
             flat = crops.reshape((v * b,) + crops.shape[2:])
             cls = self.backbone.apply(
                 {"params": params["backbone"]}, flat, deterministic,
-                rngs=rngs,
+                rngs=rngs, pack=pack,
             )
             return cls.reshape(v, b, -1)
 
         outs = [run(globals_)]
         if locals_.shape[0] > 0:
-            outs.append(run(locals_))
+            # Locals are the memory-bound n=37 regime — pack them.
+            outs.append(run(locals_, self.crop_pack))
         cls_all = jnp.concatenate(outs, axis=0)  # (V, B, D)
         v, b, d = cls_all.shape
         head_vars = {"params": params["head"]}

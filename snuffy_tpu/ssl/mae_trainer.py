@@ -88,6 +88,7 @@ class MAETrainer:
         use_bf16: bool = True,
         augment: bool = False,
         crop_scale: Tuple[float, float] = (0.2, 1.0),
+        img_pack: int = 1,
     ):
         self.model = model
         self.mask_ratio = mask_ratio
@@ -102,6 +103,11 @@ class MAETrainer:
         # the VALIDATION split too (line 161); eval_loss reproduces that.
         self.augment = augment
         self.crop_scale = crop_scale
+        # Fold `img_pack` masked images into one encoder sequence with a
+        # block-diagonal attention mask (MaskedAutoencoderViT pack=) —
+        # same math, bigger encoder attention n (VERDICT r3 item 3;
+        # tools/profile_crop_packing.py measures it). 1 disables.
+        self.img_pack = img_pack
         self.tx: Optional[optax.GradientTransformation] = None
         self._step_fn = None
         self._eval_fn = None
@@ -162,6 +168,7 @@ class MAETrainer:
                 loss, _, _ = self.model.apply(
                     {"params": params}, imgs, self.mask_ratio, False,
                     rngs={"masking": rng, "dropout": rng, "droppath": rng},
+                    pack=self.img_pack,
                 )
                 return loss.astype(jnp.float32)
 

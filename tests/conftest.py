@@ -27,3 +27,9 @@ jax.config.update("jax_platforms", "cpu")
 # (bf16-class matmul inputs) is a deliberate runtime speed choice, not a
 # correctness one.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache (content-addressed, stale-proof): jit compiles
+# recur identically across suite runs; caching them shaves minutes.
+from snuffy_tpu.utils.compile_cache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()

@@ -22,6 +22,9 @@ import time
 
 sys.path.insert(0, ".")
 
+from snuffy_tpu.utils.compile_cache import enable as _cc
+_cc()
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from snuffy_tpu.utils.compile_cache import enable as _cc
+
+_cc()
+
 
 def check(label, fn):
     try:

@@ -222,6 +222,8 @@ def load_datasets(cfg):
 
 
 def main(argv=None):
+    from snuffy_tpu.utils.compile_cache import enable as _cc
+    _cc()  # relay recompiles per process; the persistent cache works through it
     args = get_args_parser().parse_args(argv)
     cfg = build_config(args)
 
