@@ -249,8 +249,11 @@ def bench_ssl_throughputs():
 
     backbone = vit_small(patch_size=16, use_adapter=True,
                          adapter_bottleneck=32, compute_dtype="bfloat16")
+    # crop_pack=2: fold pairs of n=37 local crops into one n=74 sequence
+    # with a block-diagonal mask — math-preserving (tests/test_ssl.py),
+    # measured +7% at B=16 / +3% at B=64 on chip (ROUND4.md item 3).
     tr = DINOTrainer(backbone, out_dim=65536, n_local_crops=8,
-                     freeze_backbone=True, optimizer="adamw")
+                     freeze_backbone=True, optimizer="adamw", crop_pack=2)
     state = tr.init_state(0)
     batch = 16
     g = jnp.asarray(rng.random((2, batch, 224, 224, 3)), jnp.float32)
@@ -271,8 +274,10 @@ def bench_ssl_throughputs():
 
     model = mae_vit_base_patch16(use_adapter=True, adapter_bottleneck=64,
                                  compute_dtype="bfloat16")
+    # img_pack=2: two masked images per encoder sequence (n=50 → n=100),
+    # measured +3.7% at B=64 on chip (ROUND4.md item 3).
     mtr = MAETrainer(model, mask_ratio=0.75, freeze_non_adapter=True,
-                     use_bf16=True, augment=True)
+                     use_bf16=True, augment=True, img_pack=2)
     mstate = mtr.init_state(0)
     mbatch = 64
     imgs = jnp.asarray(rng.integers(0, 256, (mbatch, 224, 224, 3)),

@@ -61,6 +61,12 @@ def get_args_parser():
                         "to input_size; set to the native tile size, e.g. "
                         "256, so crops come from the full-resolution tile "
                         "like torchvision cropping the original image)")
+    p.add_argument("--img_pack", default=1, type=int,
+                   help="fold groups of `img_pack` masked images into one "
+                        "encoder sequence with a block-diagonal mask — same "
+                        "math, bigger attention n (VERDICT r3 item 3; "
+                        "tools/profile_crop_packing.py measures it); must "
+                        "divide the per-device batch")
     p.add_argument("--max_steps_per_epoch", default=None, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str,
                    choices=["float32", "bfloat16"],
@@ -124,6 +130,7 @@ def train_mae(args):
         freeze_non_adapter=args.use_adapter,
         train_decoder_linears=train_linears,
         augment=args.device_augment,
+        img_pack=args.img_pack,
     )
     # With device-side augmentation the host streams the RAW decode size
     # and the jitted step crops to input_size (reference: torchvision
