@@ -519,18 +519,28 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 }  // namespace
 
+// Complete eligibility test for the scaled-JPEG grid path. Mirrors EVERY
+// precondition slide_read_grid_jpeg_scaled enforces (photometric and
+// TILEBYTECOUNTS included) so a level passing this pre-check can never
+// return -10 at runtime — the Python caller keys its path choice off
+// slide_grid_jpeg_scaled_ok alone.
 static bool grid_jpeg_eligible(TIFF* tif, uint32_t read) {
-  uint16_t comp = 0, spp = 0, bps = 0, planar = 0;
+  uint16_t comp = 0, spp = 0, bps = 0, planar = 0, photo = 0;
   uint32_t tile_w = 0, tile_h = 0;
+  uint64_t* bytecounts = nullptr;
   TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &comp);
   TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
   TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
   TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photo);
   return comp == COMPRESSION_JPEG && TIFFIsTiled(tif) &&
          TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tile_w) &&
          TIFFGetField(tif, TIFFTAG_TILELENGTH, &tile_h) &&
          tile_w == read && tile_h == read && spp == 3 && bps == 8 &&
-         planar == PLANARCONFIG_CONTIG;
+         planar == PLANARCONFIG_CONTIG &&
+         (photo == PHOTOMETRIC_RGB || photo == PHOTOMETRIC_YCBCR) &&
+         TIFFGetField(tif, TIFFTAG_TILEBYTECOUNTS, &bytecounts) &&
+         bytecounts != nullptr;
 }
 
 extern "C" int slide_grid_jpeg_scaled_ok(void* handle, int level,
@@ -569,6 +579,11 @@ extern "C" int slide_read_grid_jpeg_scaled(void* handle, int level,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
+  // `raw` is constructed BEFORE setjmp: a longjmp from a corrupt tile
+  // must not cross a live C++ object's initialization (UB + leak); with
+  // the buffer already in scope here, the jump lands after construction
+  // and the normal return path runs its destructor.
+  std::vector<uint8_t> raw;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return -11;
@@ -582,7 +597,6 @@ extern "C" int slide_read_grid_jpeg_scaled(void* handle, int level,
     }
   }
 
-  std::vector<uint8_t> raw;
   for (uint32_t r = 0; r < n_rows; ++r) {
     for (uint32_t c = 0; c < n_cols; ++c) {
       ttile_t t = TIFFComputeTile(tif, c * read, (row0 + r) * read, 0, 0);

@@ -307,6 +307,10 @@ def predict_slide(
         slide.close()
         timings["read_filter_s"] = t_read
         timings["read_decode_s"] = t_decode
+        # Which decode fed the filter/scores (scaled 7/8-IDCT tiles are
+        # tolerance- but not bit-identical to the resize path) — recorded
+        # so score drift on real slides is attributable (ADVICE r4).
+        timings["decode_path"] = "grid_jpeg_scaled" if scaled else "grid"
         n = n_done
 
         if n == 0:
@@ -340,6 +344,7 @@ def predict_slide(
     t0 = time.perf_counter()
     tiles, positions = read_slide_tiles(slide_path, tiler_cfg, workers)
     timings["read_filter_s"] = time.perf_counter() - t0
+    timings["decode_path"] = "per_tile"
 
     t0 = time.perf_counter()
     n = len(tiles)

@@ -225,6 +225,17 @@ class DINOTrainer:
         def run(crops, pack=1):
             v, b = crops.shape[0], crops.shape[1]
             if (v * b) % pack:
+                # Perf-only downgrade (math unchanged), but the CLI
+                # contract says crop_pack must divide V×B — surface it
+                # once instead of silently ignoring the flag (ADVICE r4).
+                if not getattr(self, "_warned_pack_drop", False):
+                    import warnings
+                    warnings.warn(
+                        f"crop_pack={pack} does not divide "
+                        f"views*batch={v * b}; running unpacked (pack=1)",
+                        stacklevel=2,
+                    )
+                    self._warned_pack_drop = True
                 pack = 1
             flat = crops.reshape((v * b,) + crops.shape[2:])
             cls = self.backbone.apply(
