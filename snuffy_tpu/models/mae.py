@@ -51,6 +51,10 @@ class MaskedAutoencoderViT(nn.Module):
     # the loss and emitted embeddings stay f32) — the TPU fast path for
     # feature extraction and pretraining.
     compute_dtype: str = "float32"
+    # Packed-encoder attention mode ('masked' | 'blocked'), see
+    # models/vit.py VisionTransformer.pack_mode — exact-math equal; masked
+    # measured faster at pack=2, blocked at pack >= 4.
+    pack_mode: str = "masked"
 
     @property
     def _cdt(self):
@@ -178,11 +182,13 @@ class MaskedAutoencoderViT(nn.Module):
         """Full MAE forward → (loss, pred (B,N,p²·3), mask (B,N)).
 
         `pack` > 1 folds groups of `pack` masked images into ONE encoder
-        sequence with a block-diagonal attention mask (each keeps its own
-        CLS; LayerNorm/MLP/adapter are per-token) — same math, but the
-        memory-bound n≈50 encoder attention runs at n≈50·pack
-        (ROOFLINE.md §5; VERDICT r3 item 3). The decoder is untouched:
-        its n=197 full sequence is already at that shape's ceiling."""
+        sequence (each keeps its own CLS; LayerNorm/MLP/adapter are
+        per-token) — same math, but the memory-bound n≈50 encoder GEMMs
+        run at n≈50·pack (ROOFLINE.md §5; VERDICT r3 item 3). Attention
+        itself is block-batched inside MHSA (segments folded into the
+        batch dim — zero extra attention FLOPs at any pack, VERDICT r4
+        item 2). The decoder is untouched: its n=197 full sequence is
+        already at that shape's ceiling."""
         x = self.patch_embed(imgs)
         pe = jnp.asarray(sincos_2d(self.embed_dim, self.grid))
         x = x + pe[:, 1:, :]
@@ -199,8 +205,10 @@ class MaskedAutoencoderViT(nn.Module):
             if b % pack:
                 raise ValueError(f"batch {b} not divisible by pack={pack}")
             x = x.reshape(b // pack, pack * n_vis, self.embed_dim)
-            seg = jnp.repeat(jnp.arange(pack), n_vis)
-            attn_mask = jnp.where(seg[:, None] == seg[None, :], 0.0, -1e9)
+            if self.pack_mode == "masked":
+                seg = jnp.repeat(jnp.arange(pack), n_vis)
+                attn_mask = jnp.where(seg[:, None] == seg[None, :],
+                                      0.0, -1e9)
         for blk in self.blocks:
             x = blk(x, deterministic, attn_mask=attn_mask, segments=pack)
         latent = self.enc_norm(x)

@@ -111,8 +111,6 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
     the param count — the DDP-equivalent minimum). Bags never mix until
     the loss mean, so each device can run its own bags start-to-finish.
     """
-    import dataclasses
-
     from jax.sharding import PartitionSpec
 
     from snuffy_tpu.models.snuffy import build_milnet
@@ -125,14 +123,16 @@ def make_sharded_batch_train_step(trainer: SnuffyTrainer, mesh: Mesh):
     else:
         mcfg = trainer.cfg.model
         if tp > 1 and mcfg.use_pallas:
-            # pallas_call has no GSPMD partitioning rule: left on the tp-auto
-            # axes, XLA replicates the kernel — an all-gather of every bag's
-            # padded (h, N, Λ) probs residual across tp, each layer, fwd and
-            # bwd. The einsum attention partitions cleanly over the head
-            # axis, so tp meshes use it (same math; ops/sparse_attention.py
-            # is the kernel's correctness oracle).
-            mcfg = dataclasses.replace(mcfg, use_pallas=False)
-            model = build_milnet(mcfg)
+            # pallas_call has no GSPMD partitioning rule: left on the
+            # tp-auto axes, XLA would replicate the kernel — an all-gather
+            # of every bag's padded (h, N, Λ) probs residual across tp,
+            # each layer, fwd and bwd. Building the model WITH the mesh
+            # routes attention through the head-sharded shard_map wrapper
+            # (parallel/tp_attention.py): the fused kernel runs on each
+            # tp shard's own heads with zero collectives inside
+            # (VERDICT r4 item 5; traffic pinned by
+            # tests/test_collective_audit.py).
+            model = build_milnet(mcfg, mesh=mesh)
         else:
             model = trainer.model
         # Manual axes of size 1 wrapped around a tp all-reduce trip an XLA

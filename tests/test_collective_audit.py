@@ -17,9 +17,12 @@ count/bytes against the perf model —
     bench point).
   * tp (Megatron rules, parallel/sharded_train.py:_TP_RULES): all-reduces
     are activation partial sums (bounded per layer), never parameter- or
-    probs-sized gathers. Under tp the step must select the einsum
-    attention: pallas_call has no GSPMD partitioning rule, so the kernel
-    would be replicated across tp.
+    probs-sized gathers. Under tp the step KEEPS the fused Pallas kernel
+    via the head-sharded shard_map wrapper (parallel/tp_attention.py,
+    VERDICT r4 item 5) — pallas_call has no GSPMD partitioning rule, so
+    left auto it would replicate across tp; the wrapper runs it manually
+    on each shard's own heads with zero collectives inside, and these
+    traffic bounds pin that it stays that way.
 
 Elements are counted from the compiled HLO's collective result shapes; the
 CPU backend emits synchronous collectives, and the async -start/-done forms

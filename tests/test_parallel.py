@@ -298,6 +298,65 @@ def test_sp_attention_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_tp_fused_attention_matches_single_device():
+    """Head-sharded tp wrapper for the fused Pallas kernel (VERDICT r4
+    item 5): output equals the single-device kernel, dropout is BIT-exact
+    (the per-shard seed offset reproduces each global head's hash), and
+    gradients flow through the custom_vjp under shard_map."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from snuffy_tpu.ops.pallas_attention import fused_inverted_sparse_attention
+    from snuffy_tpu.parallel.tp_attention import (
+        tp_fused_inverted_sparse_attention,
+    )
+
+    h, n, s, dk = 4, 256, 16, 16
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h, s, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h, n, dk)), jnp.float32)
+    sv = jnp.asarray(np.arange(s) < 12)
+    qv = jnp.asarray(np.arange(n) < 200)
+    seed = jnp.asarray(1234, jnp.int32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tp",))
+    hsh = NamedSharding(mesh, P("tp", None, None))
+
+    for rate in (0.0, 0.3):
+        expected = fused_inverted_sparse_attention(
+            q, k, v, sv, qv, dropout_rate=rate, dropout_seed=seed,
+            tile_n=64,
+        )
+        got = tp_fused_inverted_sparse_attention(
+            jax.device_put(q, hsh), jax.device_put(k, hsh),
+            jax.device_put(v, hsh), sv, qv, mesh,
+            dropout_rate=rate, dropout_seed=seed, tile_n=64,
+        )
+        assert got.sharding.spec == P("tp", None, None), got.sharding
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+    # grads flow through the custom_vjp inside the shard_map
+    def loss(q_, v_):
+        out = tp_fused_inverted_sparse_attention(
+            q_, k, v_, sv, qv, mesh, dropout_rate=0.0, tile_n=64
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q_, v_):
+        out = fused_inverted_sparse_attention(
+            q_, k, v_, sv, qv, tile_n=64
+        )
+        return jnp.sum(out ** 2)
+
+    with mesh:
+        gq, gv = jax.grad(loss, argnums=(0, 1))(q, v)
+    gq_ref, gv_ref = jax.grad(loss_ref, argnums=(0, 1))(q, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     """Sharded save → restore into the SAME NamedSharding layout on the
     8-device mesh: every leaf bit-identical and placed per the original

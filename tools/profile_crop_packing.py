@@ -16,6 +16,7 @@ Usage: python tools/profile_crop_packing.py [batch ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,12 +33,13 @@ from snuffy_tpu.models.vit import vit_small
 from snuffy_tpu.ssl.dino import DINOTrainer
 
 PACKS = (1, 2, 4, 8)
-ITERS = 6
+ITERS = int(os.environ.get("ITERS", "20"))
 
 
-def measure(batch: int, pack: int) -> float:
+def measure(batch: int, pack: int, mode: str = "masked") -> float:
     backbone = vit_small(patch_size=16, use_adapter=True,
-                         adapter_bottleneck=32, compute_dtype="bfloat16")
+                         adapter_bottleneck=32, compute_dtype="bfloat16",
+                         pack_mode=mode)
     tr = DINOTrainer(backbone, out_dim=65536, n_local_crops=8,
                      freeze_backbone=True, optimizer="adamw",
                      crop_pack=pack)
@@ -61,11 +63,17 @@ def measure(batch: int, pack: int) -> float:
 def main() -> None:
     batches = [int(a) for a in sys.argv[1:]] or [16]
     out = {"platform": jax.devices()[0].platform, "iters": ITERS}
+    modes = os.environ.get("PACK_MODES", "masked,blocked").split(",")
     for b in batches:
         for p in PACKS:
             if (8 * b) % p:
                 continue
-            out[f"dino_sps_b{b}_pack{p}"] = round(measure(b, p), 1)
+            if p == 1:
+                out[f"dino_sps_b{b}_pack1"] = round(measure(b, 1), 1)
+                continue
+            for m in modes:
+                out[f"dino_sps_b{b}_pack{p}_{m}"] = round(
+                    measure(b, p, m), 1)
     print(json.dumps(out))
 
 
