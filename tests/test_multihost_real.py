@@ -41,6 +41,63 @@ def _make_images(root, n, size=32, seed=0):
         Image.fromarray(arr).save(os.path.join(root, "a", f"{i}.jpeg"))
 
 
+def _run_worker_pair(script, extra_args, workdir, timeout=780):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "COORDINATOR_ADDRESS", "NUM_PROCESSES",
+                        "PROCESS_ID")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", script),
+             str(pid), str(port), workdir, *extra_args],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    results = {}
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host worker hung (collective deadlock?)")
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out[-4000:]}"
+        r = json.loads(line[-1][len("RESULT "):])
+        results[r["pid"]] = r
+    return results
+
+
+def test_orbax_checkpoint_across_cluster_restart(tmp_path):
+    """save → kill → restore over the REAL wire (VERDICT r4 item 7): one
+    2-process cluster incarnation runs a dcn=2 sharded MIL step and
+    orbax-saves the sharded state (each process writes only its own
+    shards); the cluster exits; a brand-new incarnation restores into the
+    freshly-built NamedSharding layout. The global checksums must agree
+    across hosts within each incarnation AND across the restart — the
+    layout/content property the single-process virtual mesh cannot
+    validate."""
+    work = str(tmp_path)
+    saved = _run_worker_pair("multihost_ckpt_worker.py", ["save"], work)
+    s0, s1 = saved[0], saved[1]
+    assert s0["params_sum"] == s1["params_sum"]
+    assert s0["w"] == s1["w"] and s0["step"] == s1["step"]
+    assert s0["loss"] == s1["loss"]
+
+    restored = _run_worker_pair("multihost_ckpt_worker.py", ["restore"],
+                                work)
+    r0, r1 = restored[0], restored[1]
+    for r in (r0, r1):
+        assert r["sharding_ok"] is True
+        assert r["local_only"] is True
+        assert r["params_sum"] == s0["params_sum"]
+        assert r["w"] == s0["w"] and r["step"] == s0["step"]
+
+
 def test_two_process_cluster_end_to_end(tmp_path):
     work = str(tmp_path)
     _make_images(os.path.join(work, "imgs"), 24)       # 12/12 per host
