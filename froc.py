@@ -16,6 +16,7 @@ import os
 import pandas as pd
 
 from snuffy_tpu.eval.froc import (
+    EvalMaskCache,
     froc_for_slides,
     plot_froc,
     save_results,
@@ -34,6 +35,12 @@ def get_args_parser():
     p.add_argument("--level", default=5, type=int,
                    help="evaluation mask level")
     p.add_argument("--include_itcs", action="store_true")
+    p.add_argument("--cache_dir", default=None,
+                   help="persist computed evaluation masks as npz here — "
+                        "repeated sweeps against the same test masks skip "
+                        "the distance-transform/labeling recompute (the "
+                        "working version of the reference's vestigial "
+                        "use_cache flag, froc.py:450-451)")
     return p
 
 
@@ -57,10 +64,12 @@ def main(argv=None):
     def mask_for(slide):
         return os.path.join(args.masks, f"{slide}_mask.tif")
 
+    cache = EvalMaskCache(args.cache_dir) if args.cache_dir else None
     score, avg_fps, sens = froc_for_slides(
         detections, mask_for, types,
         evaluation_mask_level=args.level,
         include_itcs=args.include_itcs,
+        mask_cache=cache,
     )
     print(f"Score: {score}")
     if args.result:

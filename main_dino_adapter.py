@@ -86,6 +86,14 @@ def get_args_parser():
                         "(same math, bigger attention n — see "
                         "tools/profile_crop_packing.py); must divide "
                         "local_crops_number x batch")
+    p.add_argument("--pack_mode", default="masked",
+                   choices=["masked", "blocked"],
+                   help="how packed sequences run attention: 'masked' = "
+                        "one big attention with a block-diagonal mask "
+                        "(fastest at pack=2 on v5e); 'blocked' = segments "
+                        "fold into the attention batch dim (zero extra "
+                        "attention FLOPs — for attention-FLOP-bound "
+                        "operating points). Exact-math equal.")
     return p
 
 
@@ -123,6 +131,7 @@ def train_dino(args):
         adapter_scale=args.adapter_ffn_scalar,
         drop_path_rate=args.drop_path_rate,
         compute_dtype=args.compute_dtype,
+        pack_mode=getattr(args, "pack_mode", "masked"),
     )
     trainer = DINOTrainer(
         backbone,

@@ -279,12 +279,77 @@ def compute_score(average_fps: List[float], sensitivities: List[float]) -> float
 # --------------------------------------------------------------- full runs
 
 
+class EvalMaskCache:
+    """Evaluation-mask cache for repeated FROC sweeps.
+
+    The reference intended a cached bulk mode (froc.py:450-451 sets a
+    `use_cache` global that nothing ever reads — the cache path is
+    vestigial); this is the working equivalent. The distance-transform +
+    dilation + labeling of each tumor mask is a pure function of
+    (mask file, level, include_itcs) and dominates a bulk evaluation, yet
+    is identical across every run/epoch scored against the same test set —
+    exactly the many-runs-one-mask-set sweep `datasets/` CV and epoch-wise
+    Runner evaluation produce. Entries hold (labeled mask, ITC labels,
+    downsample); `directory` persists them as npz so sweeps across
+    processes skip the recompute too.
+    """
+
+    def __init__(self, directory: Optional[str] = None):
+        self.directory = directory
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+        self._mem: Dict[Tuple[str, int, bool],
+                        Tuple[np.ndarray, Set[int], float]] = {}
+
+    def _npz_path(self, key) -> Optional[str]:
+        if not self.directory:
+            return None
+        import hashlib
+
+        h = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+        return os.path.join(self.directory, f"evalmask_{h}.npz")
+
+    def get(self, path_or_reader, level: int, include_itcs: bool):
+        """→ (evaluation mask, itc label set, downsample at `level`)."""
+        key = (getattr(path_or_reader, "path", None)
+               or getattr(getattr(path_or_reader, "_slide", None),
+                          "path", None)
+               or (path_or_reader if isinstance(path_or_reader, str)
+                   else None),
+               level, include_itcs)
+        if key[0] is None:   # un-keyable in-memory reader: no caching
+            reader = open_mask(path_or_reader)
+            ev, itcs = compute_evaluation_mask(reader, level, include_itcs)
+            return ev, itcs, reader.read(level).downsample
+        if key in self._mem:
+            return self._mem[key]
+        npz = self._npz_path(key)
+        if npz and os.path.exists(npz):
+            data = np.load(npz)
+            entry = (data["mask"],
+                     set(int(v) for v in data["itcs"]),
+                     float(data["downsample"]))
+        else:
+            reader = open_mask(path_or_reader)
+            ev, itcs = compute_evaluation_mask(reader, level, include_itcs)
+            entry = (ev, itcs, reader.read(level).downsample)
+            if npz:
+                np.savez_compressed(
+                    npz, mask=entry[0],
+                    itcs=np.asarray(sorted(entry[1]), np.int64),
+                    downsample=np.float64(entry[2]),
+                )
+        self._mem[key] = entry
+        return entry
+
+
 def froc_for_slides(
     detections_per_slide: Dict[str, Sequence[Tuple[float, float, float]]],
     mask_for_slide,
     slide_types: Dict[str, str],
     evaluation_mask_level: int = 5,
     include_itcs: bool = False,
+    mask_cache: Optional[EvalMaskCache] = None,
 ) -> Tuple[float, List[float], List[float]]:
     """In-memory FROC over many slides (the reference's
     mp_computeFROC_list_no_cache, froc.py:447-511).
@@ -292,16 +357,22 @@ def froc_for_slides(
     detections_per_slide: slide → [(prob, x, y) at level 0].
     mask_for_slide: slide → MaskReader | path | None (normal slides).
     slide_types: slide → 'tumor' | 'normal'.
+    mask_cache: optional EvalMaskCache reused across calls/sweeps.
     Returns (challenge_score, avg_fps, sensitivities).
     """
     froc_data = {}
     for slide, dets in detections_per_slide.items():
         if slide_types.get(slide, "tumor") == "tumor":
-            mask = open_mask(mask_for_slide(slide))
-            ev_mask, itcs = compute_evaluation_mask(
-                mask, evaluation_mask_level, include_itcs
-            )
-            down = mask.read(evaluation_mask_level).downsample
+            src = mask_for_slide(slide)
+            if mask_cache is not None:
+                ev_mask, itcs, down = mask_cache.get(
+                    src, evaluation_mask_level, include_itcs)
+            else:
+                mask = open_mask(src)
+                ev_mask, itcs = compute_evaluation_mask(
+                    mask, evaluation_mask_level, include_itcs
+                )
+                down = mask.read(evaluation_mask_level).downsample
             items = scale_detections(dets, down)
         else:
             ev_mask, itcs = None, set()

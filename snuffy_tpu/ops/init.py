@@ -20,8 +20,14 @@ from __future__ import annotations
 import jax
 
 
-def _trunc_normal(key, shape, dtype):
-    return jax.nn.initializers.truncated_normal(stddev=1.0)(key, shape, dtype)
+def _trunc_normal(key, shape, dtype=None):
+    # dtype defaulted like jax's builtin initializers: flax's
+    # module.param() calls init(key, shape) with no dtype when the caller
+    # passes only a shape (e.g. models/snuffy.py _ProjParams).
+    import jax.numpy as jnp
+
+    return jax.nn.initializers.truncated_normal(stddev=1.0)(
+        key, shape, jnp.float32 if dtype is None else dtype)
 
 
 WEIGHT_INITS = {

@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from flax import serialization
 
-from snuffy_tpu.configs import MILTrainConfig, MIL_DATASETS
+from snuffy_tpu.configs import MILTrainConfig
 from snuffy_tpu.data.bags import dropout_patches, l2_normalize_rows
 from snuffy_tpu.data.bucketing import DEFAULT_BUCKETS, pad_bag
 from snuffy_tpu.eval.metrics import (
@@ -97,9 +97,12 @@ class Runner:
         self.logger = logger or MetricsLogger()
         self.rng = np.random.default_rng(cfg.seed)
 
-        if cfg.dataset in MIL_DATASETS:
-            # Weighted BCE from the train split (reference train.py:246-249).
-            trainer.pos_weight = compute_pos_weight(train_data[0])
+        # Weighted BCE from the train split — the reference sets it
+        # UNCONDITIONALLY on the first train epoch (train.py:244-247), for
+        # every dataset; gating it to the classic-MIL pickles was a parity
+        # bug that only stayed invisible because camelyon16 splits are
+        # near-balanced (pos_weight ≈ 1).
+        trainer.pos_weight = compute_pos_weight(train_data[0])
 
         self.save_dir = os.path.join(
             cfg.save_path, cfg.dataset, cfg.run_name or f"run_seed{cfg.seed}"

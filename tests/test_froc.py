@@ -213,3 +213,64 @@ def test_froc_through_file_based_readers(tmp_path, reader_cls):
     )
     assert s_file == pytest.approx(s_arr)
     assert fp_file == fp_arr and sens_file == sens_arr
+
+
+def test_eval_mask_cache_roundtrip(tmp_path):
+    """EvalMaskCache (the working version of the reference's vestigial
+    use_cache, froc.py:450-451): identical scores with and without the
+    cache, masks computed once per (path, level) across repeated sweeps,
+    and npz persistence serving a second cache instance."""
+    from PIL import Image
+
+    from snuffy_tpu.eval.froc import EvalMaskCache
+
+    masks = tmp_path / "masks"
+    masks.mkdir()
+    size, tumor = 2048, 1200
+    arr = np.zeros((size, size), np.uint8)
+    arr[:tumor, :tumor] = 2
+    Image.fromarray(arr).save(str(masks / "tumor_001_mask.tif"))
+
+    detections = {"tumor_001": [(0.9, 256, 256), (0.3, 1800, 1800)]}
+    types = {"tumor_001": "tumor"}
+
+    def mask_for(s):
+        return str(masks / f"{s}_mask.tif")
+
+    base_score, base_fps, base_sens = froc_for_slides(
+        detections, mask_for, types, evaluation_mask_level=5)
+
+    cache = EvalMaskCache(directory=str(tmp_path / "cache"))
+    calls = {"n": 0}
+    orig = cache.get
+
+    def counting_get(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    cache.get = counting_get
+    for _ in range(3):  # a sweep: same masks, three runs
+        s, fps, sens = froc_for_slides(
+            detections, mask_for, types, evaluation_mask_level=5,
+            mask_cache=cache)
+        assert s == pytest.approx(base_score)
+        assert fps == base_fps and sens == base_sens
+    assert calls["n"] == 3
+    assert len(cache._mem) == 1  # one mask computed, reused twice
+
+    # a fresh process (new cache object) restores from the npz
+    cache2 = EvalMaskCache(directory=str(tmp_path / "cache"))
+    import snuffy_tpu.eval.froc as froc_mod
+    real_compute = froc_mod.compute_evaluation_mask
+
+    def boom(*a, **k):
+        raise AssertionError("recompute despite npz cache")
+
+    froc_mod.compute_evaluation_mask = boom
+    try:
+        s2, _, _ = froc_for_slides(
+            detections, mask_for, types, evaluation_mask_level=5,
+            mask_cache=cache2)
+    finally:
+        froc_mod.compute_evaluation_mask = real_compute
+    assert s2 == pytest.approx(base_score)

@@ -62,3 +62,27 @@ def test_camelyon16_froc_from_runner(tmp_path):
     # With the threshold above every score, nothing is detected.
     score0 = runner._camelyon16_froc(data, ins_list, order, feat_threshold=0.95)
     assert score0 == 0.0
+
+
+def test_runner_sets_pos_weight_for_every_dataset(tmp_path):
+    """The reference builds its pos-weighted BCEWithLogitsLoss from the
+    train split unconditionally, for every dataset (train.py:244-247);
+    Runner must do the same — it was once gated to the classic-MIL
+    pickles, which only looked correct because camelyon16 splits are
+    near-balanced."""
+    from snuffy_tpu.train.runner import Runner
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    cfg = MILTrainConfig(
+        model=SnuffyModelConfig(feats_size=8, num_heads=2, big_lambda=4),
+        dataset="camelyon16",
+        save_path=str(tmp_path / "runs"),
+    )
+    trainer = SnuffyTrainer(cfg)
+    # 1 positive, 3 negatives → pos_weight = (4-1)/1 = 3
+    labels = [np.array([1.0]), np.array([0.0]), np.array([0.0]),
+              np.array([0.0])]
+    feats = [np.zeros((4, 8), np.float32)] * 4
+    train = (labels, feats, None, None)
+    Runner(cfg, trainer, train, train, train)
+    assert trainer.pos_weight == pytest.approx(3.0)

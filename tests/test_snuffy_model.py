@@ -228,3 +228,24 @@ def test_remat_encoder_identical_outputs_and_grads():
                     jax.tree_util.tree_leaves(grads(mB))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_every_weight_init_initializes():
+    """Every registry init must work through BOTH param paths — nn.Dense
+    (kernel_init called with (key, shape, dtype)) and the fused-q/v
+    _ProjParams (self.param calls init with (key, shape) only). A
+    dtype-required init signature broke trunc_normal/orthogonal configs
+    after the q/v GEMM fusion, invisibly to the fast suite because only
+    RUN_SLOW recipe tests init with them."""
+    from snuffy_tpu.ops.init import WEIGHT_INITS
+
+    for name in WEIGHT_INITS:
+        cfg = SnuffyModelConfig(
+            feats_size=8, num_heads=2, big_lambda=4, depth=1,
+            weight_init_i=name, weight_init_b=name,
+            use_pallas=False,
+        )
+        params = init_milnet_params(cfg, seed=0, n_example=16)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert leaves and all(np.isfinite(np.asarray(l)).all()
+                              for l in leaves), name
