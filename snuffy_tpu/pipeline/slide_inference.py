@@ -158,11 +158,13 @@ def predict_slide(
     PREFETCH thread: block i+1's JPEG decode (a GIL-releasing C call)
     runs while the main thread uploads + dispatches block i. The upload
     is the hidden cost on a thin relay link (~1.8 ms/tile measured — it
-    was the unexplained 18 s in BENCH_r02's fused run). Overlap only
-    helps when decode and upload can run concurrently: upload
-    serialization is itself CPU work, so on a single-core host the two
-    threads contend and decode slows ~50% (measured on this rig) —
-    `prefetch=None` auto-enables the thread only when os.cpu_count() > 1.
+    was the unexplained 18 s in BENCH_r02's fused run). `prefetch=None`
+    auto-enables the thread: even on a single-core host the upload's
+    WIRE WAIT is overlappable — the r5 re-probe
+    (tools/profile_decode_upload_overlap.py, after scaled decode cut
+    decode work/bytes ~23%) measured 1.24× end-to-end with decode only
+    ~15% slower under contention, overturning the r2 "prefetch slows
+    decode 50%" measurement that used the heavier full-IDCT decode.
     Embeddings accumulate on device; the only device→host traffic is the
     final score vector. Timing keys:
 
@@ -251,11 +253,10 @@ def predict_slide(
             bag_buf = write_chunk(bag_buf, feats, jnp.int32(n_done))
             n_done += count
 
-        import os
         from concurrent.futures import ThreadPoolExecutor
 
         if prefetch is None:
-            prefetch = (os.cpu_count() or 1) > 1
+            prefetch = True  # wins even at nproc=1 — see docstring
         t_decode = 0.0
 
         def _read_block(r0):
