@@ -254,3 +254,50 @@ def test_batched_tail_dummy_bags_keep_state_finite():
         jax.random.PRNGKey(1),
     )
     assert np.isfinite(np.asarray(losses)[:2]).all()
+
+
+def test_train_step_across_config_grid():
+    """One real train step over the reference's config grid corners
+    (activation × optimizer × init × multiclass × compute dtype): finite
+    loss and params actually move. Exists because a fast suite that only
+    trains ONE config can silently lose the others — the r4 q/v fusion
+    broke trunc_normal-init configs for a whole round with every fast
+    test green (only RUN_SLOW recipe tests init with it)."""
+    import itertools
+
+    rng = np.random.default_rng(0)
+    grid = itertools.product(
+        ("relu", "gelu", "leakyrelu", "selu"),
+        ("adam", "adamw"),
+        ("trunc_normal", "xavier_uniform"),
+    )
+    for i, (act, opt, init) in enumerate(grid):
+        multiclass = i % 2 == 1  # alternate to keep runtime bounded
+        ncls = 2 if multiclass else 1
+        cfg = MILTrainConfig(
+            model=SnuffyModelConfig(
+                feats_size=16, num_classes=ncls, num_heads=2, big_lambda=8,
+                random_patch_share=0.25, mlp_multiplier=2, depth=1,
+                activation=act, multiclass=multiclass,
+                weight_init_i=init, weight_init_b=init, use_pallas=False,
+            ),
+            optim=OptimizerConfig(optimizer=opt, lr=1e-3,
+                                  betas=(0.9, 0.999)),
+            soft_average=True, num_epochs=1,
+        )
+        trainer = SnuffyTrainer(cfg)
+        state = trainer.init_state(0, example_n=16)
+        fn = trainer.train_bucket_fn(16)
+        feats = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
+        masks = jnp.asarray(np.ones((2, 16), bool))
+        if multiclass:
+            labels = jnp.asarray(np.eye(2, dtype=np.float32)[[0, 1]])
+        else:
+            labels = jnp.asarray([[1.0], [0.0]], jnp.float32)
+        # materialize BEFORE the step: the step fn donates the state
+        before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        state2, losses, _, _ = fn(state, feats, masks, labels,
+                                  jnp.float32(1e-3), jax.random.PRNGKey(1))
+        after = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+        assert np.isfinite(np.asarray(losses)).all(), (act, opt, init)
+        assert not np.array_equal(before, after), (act, opt, init)
