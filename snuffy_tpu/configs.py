@@ -110,6 +110,14 @@ class MILTrainConfig:
     # Batched-bags mode: 0/1 keeps the reference per-bag-step semantics;
     # >1 averages grads over a batch of bags (the data-parallel unit on TPU).
     bag_batch_size: int = 1
+    # Batched-step implementation (single-device): 'packed' folds the batch
+    # along the row axis so every GEMM runs at M=B·N — the MIL shapes are
+    # M-bound (ROOFLINE.md §1/§3) and the unbatched graph avoids the vmap
+    # backward-schedule penalty (ROUND3.md); 'vmap' maps the per-bag graph
+    # over the batch (the r3 implementation). Semantics are identical
+    # (per-bag losses, one averaged-grad update); only the execution layout
+    # differs. Mesh runs use the sharded step regardless.
+    bag_batch_impl: str = "packed"
     # Multi-chip MIL training (batched mode only): None = auto (dp-only
     # mesh when bag_batch_size divides over the chips), 1 = full dp×sp×tp
     # factoring (loud validation), 0 = never (single device).

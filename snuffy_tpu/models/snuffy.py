@@ -52,6 +52,8 @@ from snuffy_tpu.ops.selection import (
     binary_selection_prepare,
     multiclass_selection_draw,
     multiclass_selection_prepare,
+    packed_selection_draw,
+    packed_selection_prepare,
 )
 from snuffy_tpu.ops.sparse_attention import inverted_sparse_attention
 
@@ -128,6 +130,10 @@ class MultiHeadedAttention(nn.Module):
 
     cfg: SnuffyModelConfig
     mesh: Optional[Mesh] = None
+    # >1: rows/slots carry `segments` bags packed on the row axis; each
+    # bag's queries attend only to its own slots (ops/selection.py
+    # "packed bags"). Single-device only (sp/tp shard the one-bag layout).
+    segments: int = 1
 
     @nn.compact
     def __call__(
@@ -176,7 +182,45 @@ class MultiHeadedAttention(nn.Module):
         if rate > 0.0 and not deterministic:
             drop_rng = self.make_rng("dropout")
 
-        if _sp_size(self.mesh) > 1:
+        if self.segments > 1:
+            if _sp_size(self.mesh) > 1:
+                raise NotImplementedError(
+                    "packed bags (segments > 1) and sequence parallelism "
+                    "shard the same row axis — use one or the other"
+                )
+            if cfg.use_pallas:
+                from snuffy_tpu.ops.pallas_attention import (
+                    fused_packed_inverted_sparse_attention,
+                )
+                from snuffy_tpu.parallel.tp_attention import tp_size
+
+                if tp_size(self.mesh) > 1:
+                    raise NotImplementedError(
+                        "packed bags do not compose with tensor "
+                        "parallelism yet"
+                    )
+                seed = None
+                if drop_rng is not None:
+                    seed = jax.random.randint(
+                        drop_rng, (), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                out = fused_packed_inverted_sparse_attention(
+                    q, k, v, slot_valid, q_valid, self.segments,
+                    dropout_rate=rate if seed is not None else 0.0,
+                    dropout_seed=seed, tile_n=cfg.pallas_tile_n,
+                )
+            else:
+                from snuffy_tpu.ops.sparse_attention import (
+                    packed_inverted_sparse_attention,
+                )
+
+                out = packed_inverted_sparse_attention(
+                    q, k, v, slot_valid, q_valid, self.segments,
+                    dropout_rate=0.0 if deterministic else rate,
+                    dropout_rng=drop_rng,
+                )
+            p_attn = None
+        elif _sp_size(self.mesh) > 1:
             from snuffy_tpu.parallel.sp_attention import (
                 sp_inverted_sparse_attention,
             )
@@ -264,11 +308,12 @@ class EncoderLayer(nn.Module):
     cfg: SnuffyModelConfig
     ffn_dropout: float
     mesh: Optional[Mesh] = None
+    segments: int = 1
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,            # (N, d)
+        x: jnp.ndarray,            # (N, d) — or (k·N, d) packed
         prep: PreparedSelection,   # hoisted top share (c is layer-invariant)
         mask: jnp.ndarray,         # (N,) bool
         deterministic: bool,
@@ -280,7 +325,14 @@ class EncoderLayer(nn.Module):
         # Only the uniform random share is re-drawn per layer; the top share
         # is computed once per forward (reference snuffy.py:128 re-sorts the
         # same `c` every layer — identical result, redundant work).
-        if cfg.multiclass:
+        if self.segments > 1:
+            # prep is batched per segment; the draw returns packed row
+            # coordinates, so gather/scatter below work unchanged.
+            sel = packed_selection_draw(
+                sparse_key, prep, cfg.k_rand, n // self.segments,
+                multiclass=cfg.multiclass,
+            )
+        elif cfg.multiclass:
             sel = multiclass_selection_draw(sparse_key, prep)
         else:
             sel = binary_selection_draw(sparse_key, prep, cfg.k_rand)
@@ -307,9 +359,9 @@ class EncoderLayer(nn.Module):
             sel_tokens = jnp.take(x, sel.indices, axis=0)
 
         normed = nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_attn")(x)
-        attn_out, p_attn = MultiHeadedAttention(cfg, self.mesh, name="attn")(
-            normed, sel_tokens, normed, sel.slot_valid, mask, deterministic
-        )
+        attn_out, p_attn = MultiHeadedAttention(
+            cfg, self.mesh, self.segments, name="attn"
+        )(normed, sel_tokens, normed, sel.slot_valid, mask, deterministic)
         attn_out = nn.Dropout(cfg.encoder_dropout, deterministic=deterministic)(
             attn_out
         )
@@ -340,11 +392,21 @@ class Encoder(nn.Module):
     cfg: SnuffyModelConfig
     ffn_dropout: float
     mesh: Optional[Mesh] = None
+    segments: int = 1
 
     @nn.compact
     def __call__(self, x, c, mask, deterministic):
         cfg = self.cfg
-        if cfg.multiclass:
+        if self.segments > 1:
+            k, n_seg = self.segments, x.shape[0] // self.segments
+            prep = packed_selection_prepare(
+                c.reshape(k, n_seg, -1) if cfg.multiclass
+                else c[:, 0].reshape(k, n_seg),
+                mask.reshape(k, n_seg),
+                cfg.k_top if cfg.multiclass else min(cfg.k_top, n_seg),
+                multiclass=cfg.multiclass,
+            )
+        elif cfg.multiclass:
             prep = multiclass_selection_prepare(c, mask, cfg.k_top)
         else:
             prep = binary_selection_prepare(
@@ -361,7 +423,8 @@ class Encoder(nn.Module):
             layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(cfg.depth):
             x, p_attn = layer_cls(
-                cfg, self.ffn_dropout, self.mesh, name=f"layer_{i}"
+                cfg, self.ffn_dropout, self.mesh, self.segments,
+                name=f"layer_{i}",
             )(x, prep, mask, deterministic)
         return nn.LayerNorm(dtype=ln_dtype(cfg), name="ln_final")(x), p_attn
 
@@ -372,16 +435,28 @@ class BClassifier(nn.Module):
     cfg: SnuffyModelConfig
     ffn_dropout: float
     mesh: Optional[Mesh] = None
+    segments: int = 1
 
     @nn.compact
     def __call__(self, x, c, mask, deterministic):
         enc, p_attn = Encoder(
-            self.cfg, self.ffn_dropout, self.mesh, name="encoder"
+            self.cfg, self.ffn_dropout, self.mesh, self.segments,
+            name="encoder",
         )(x, c, mask, deterministic)
         # masked mean accumulates in f32 regardless of the stream dtype
-        denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
-        pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0,
-                         dtype=jnp.float32) / denom
+        if self.segments > 1:
+            k, n_seg = self.segments, enc.shape[0] // self.segments
+            enc_b = enc.reshape(k, n_seg, -1)
+            mask_b = mask.reshape(k, n_seg)
+            denom = jnp.maximum(mask_b.sum(axis=1), 1).astype(jnp.float32)
+            pooled = jnp.sum(
+                enc_b * mask_b[:, :, None].astype(enc.dtype), axis=1,
+                dtype=jnp.float32,
+            ) / denom[:, None]                       # (k, d)
+        else:
+            denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+            pooled = jnp.sum(enc * mask[:, None].astype(enc.dtype), axis=0,
+                             dtype=jnp.float32) / denom
         bag_logits = _dense(self.cfg.num_classes, self.cfg.weight_init_b, "linear")(
             pooled
         )
@@ -401,6 +476,12 @@ class MILNet(nn.Module):
     # residual stream across devices (see parallel/sp_attention.py). None →
     # the single-device path, bit-identical to before.
     mesh: Optional[Mesh] = None
+    # >1: feats/mask carry `segments` equal-length bags packed on the row
+    # axis; bag_logits come back (segments, C). Same parameter tree as
+    # segments=1 — packing is an execution layout, not an architecture
+    # change (the batched-bags fast path: GEMMs run at M=k·N, see
+    # ops/selection.py "packed bags").
+    segments: int = 1
 
     def _ffn_dropout(self) -> float:
         if self.ffn_dropout is not None:
@@ -430,15 +511,16 @@ class MILNet(nn.Module):
             # accumulates f32 and the bag head promotes back to f32.
             feats = feats.astype(jnp.bfloat16)
         bag_logits, p_attn = BClassifier(
-            self.cfg, self._ffn_dropout(), self.mesh, name="b_classifier"
+            self.cfg, self._ffn_dropout(), self.mesh, self.segments,
+            name="b_classifier",
         )(feats, ins_logits, mask, deterministic)
         return ins_logits, bag_logits, p_attn
 
 
 def build_milnet(
-    cfg: SnuffyModelConfig, mesh: Optional[Mesh] = None
+    cfg: SnuffyModelConfig, mesh: Optional[Mesh] = None, segments: int = 1
 ) -> MILNet:
-    return MILNet(cfg, mesh=mesh)
+    return MILNet(cfg, mesh=mesh, segments=segments)
 
 
 def init_milnet_params(cfg: SnuffyModelConfig, seed: int = 0, n_example: int = 64):

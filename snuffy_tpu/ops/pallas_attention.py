@@ -92,9 +92,11 @@ def _softmax_block(q, k, kmask, scale):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref,
-                out_ref, acc_ref, *, scale, rate):
-    """Grid (h, N/TN). Blocks: q/v (TN, dk), k (S, dk), masks (1, ·),
-    out (S, dk). acc_ref: f32 (S, dk) VMEM scratch."""
+                out_ref, acc_ref, *, scale, rate, seg_masks=False):
+    """Grid (h, N/TN). Blocks: q/v (TN, dk), k (S, dk), masks (1, ·) — or
+    (1, 8, ·) per-segment when seg_masks (packed bags: Mosaic needs the
+    last two block dims (8, lanes)-tiled once the mask array gains a
+    segment axis) — out (S, dk). acc_ref: f32 (S, dk) VMEM scratch."""
     hh = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -105,8 +107,12 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref,
     q = q_ref[0]                       # (TN, dk)
     k = k_ref[0]                       # (S, dk)
     v = v_ref[0]                       # (TN, dk)
-    kmask = kmask_ref[0, :]            # (S,) float {0,1}
-    qmask = qmask_ref[0, :]            # (TN,)
+    if seg_masks:
+        kmask = kmask_ref[0, 0, :]     # (S,) float {0,1}
+        qmask = qmask_ref[0, 0, :]     # (TN,)
+    else:
+        kmask = kmask_ref[0, :]        # (S,) float {0,1}
+        qmask = qmask_ref[0, :]        # (TN,)
 
     p = _softmax_block(q, k, kmask, scale)
     p = p * qmask[:, None]             # dead query rows contribute 0
@@ -123,12 +129,39 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref,
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n):
+def _mask_specs(segments: int, s: int, tile_n: int):
+    """BlockSpecs for the key/row mask operands.
+
+    segments=1 keeps the original 2-D (1, ·) full-array blocks (and the
+    original compiled program) byte-identical. segments>1 masks arrive
+    (segments, 8, ·): Mosaic requires the last two block dims to be
+    (8, 128)-tiled once the array gains a segment axis, so the mask rides
+    a replicated 8-row sublane tile; hh is the folded head-major grid axis
+    (hh = head·segments + segment), so segment = hh % segments."""
+    if segments == 1:
+        return (
+            pl.BlockSpec((1, s), lambda hh, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda hh, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+    return (
+        pl.BlockSpec((1, 8, s), lambda hh, i: (hh % segments, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, tile_n), lambda hh, i: (hh % segments, 0, i),
+                     memory_space=pltpu.VMEM),
+    )
+
+
+def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n,
+              segments=1):
     h, n, dk = q.shape
     s = k.shape[1]
     grid = (h, pl.cdiv(n, tile_n))
+    kmask_spec, qmask_spec = _mask_specs(segments, s, tile_n)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate,
+                          seg_masks=segments > 1),
         out_shape=jax.ShapeDtypeStruct((h, s, dk), q.dtype),
         grid=grid,
         in_specs=[
@@ -140,10 +173,8 @@ def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda hh, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda hh, i: (0, i),
-                         memory_space=pltpu.VMEM),
+            kmask_spec,
+            qmask_spec,
         ],
         out_specs=pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -161,7 +192,8 @@ def _fwd_call(seed, q, k, v, kmask, qmask, *, scale, rate, tile_n):
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, dk_acc_ref, *, scale, rate):
+                dq_ref, dk_ref, dv_ref, dk_acc_ref, *, scale, rate,
+                seg_masks=False):
     """Grid (h, N/TN). g: (S, dk) cotangent of out. Recompute σ per tile.
 
     With factor f = qmask·keep/(1−rate) and p̃ = σ ⊙ f:
@@ -182,8 +214,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
     k = k_ref[0]
     v = v_ref[0]
     g = g_ref[0]                       # (S, dk)
-    kmask = kmask_ref[0, :]
-    qmask = qmask_ref[0, :]
+    if seg_masks:
+        kmask = kmask_ref[0, 0, :]
+        qmask = qmask_ref[0, 0, :]
+    else:
+        kmask = kmask_ref[0, :]
+        qmask = qmask_ref[0, :]
 
     sigma = _softmax_block(q, k, kmask, scale)
     factor = qmask[:, None]
@@ -214,12 +250,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, kmask_ref, qmask_ref, g_ref,
         dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
 
 
-def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n):
+def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n,
+              segments=1):
     h, n, dk = q.shape
     s = k.shape[1]
     grid = (h, pl.cdiv(n, tile_n))
+    kmask_spec, qmask_spec = _mask_specs(segments, s, tile_n)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate,
+                          seg_masks=segments > 1),
         out_shape=(
             jax.ShapeDtypeStruct((h, n, dk), q.dtype),
             jax.ShapeDtypeStruct((h, s, dk), k.dtype),
@@ -235,10 +274,8 @@ def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, dk), lambda hh, i: (hh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda hh, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda hh, i: (0, i),
-                         memory_space=pltpu.VMEM),
+            kmask_spec,
+            qmask_spec,
             pl.BlockSpec((1, s, dk), lambda hh, i: (hh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -258,22 +295,23 @@ def _bwd_call(seed, q, k, v, kmask, qmask, g, *, scale, rate, tile_n):
 # --------------------------------------------------------------- public op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _sparse_attention_padded(seed, q, k, v, kmask, qmask, scale, rate, tile_n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _sparse_attention_padded(seed, q, k, v, kmask, qmask, scale, rate,
+                             tile_n, segments=1):
     return _fwd_call(seed, q, k, v, kmask, qmask, scale=scale, rate=rate,
-                     tile_n=tile_n)
+                     tile_n=tile_n, segments=segments)
 
 
-def _sa_fwd(seed, q, k, v, kmask, qmask, scale, rate, tile_n):
+def _sa_fwd(seed, q, k, v, kmask, qmask, scale, rate, tile_n, segments=1):
     out = _fwd_call(seed, q, k, v, kmask, qmask, scale=scale, rate=rate,
-                    tile_n=tile_n)
+                    tile_n=tile_n, segments=segments)
     return out, (seed, q, k, v, kmask, qmask)
 
 
-def _sa_bwd(scale, rate, tile_n, res, g):
+def _sa_bwd(scale, rate, tile_n, segments, res, g):
     seed, q, k, v, kmask, qmask = res
     dq, dk, dv = _bwd_call(seed, q, k, v, kmask, qmask, g, scale=scale,
-                           rate=rate, tile_n=tile_n)
+                           rate=rate, tile_n=tile_n, segments=segments)
     return None, dq, dk, dv, None, None
 
 
@@ -349,3 +387,79 @@ def fused_inverted_sparse_attention(
         seed, qp, kp, vp, kmask, qmask, scale, float(dropout_rate), tile_n
     )
     return out[:, :s, :dk]
+
+
+def fused_packed_inverted_sparse_attention(
+    q: jnp.ndarray,           # (h, k*N, dk) — k bags packed on the row axis
+    k: jnp.ndarray,           # (h, k*S, dk)
+    v: jnp.ndarray,           # (h, k*N, dk)
+    slot_valid: jnp.ndarray,  # (k*S,) bool
+    q_valid: jnp.ndarray,     # (k*N,) bool
+    segments: int,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    tile_n: int = 1024,
+) -> jnp.ndarray:
+    """Segment-aware fused kernel for packed bags → (h, k*S, dk).
+
+    Bag s's queries attend only to bag s's slots (oracle:
+    `sparse_attention.packed_inverted_sparse_attention`). Segments fold
+    into the kernel's head grid axis head-major (hh = head·k + seg); each
+    (head, segment) program reads its own (1, S) key mask and (1, TN) row
+    mask via the index map — the block-diagonal structure costs zero extra
+    FLOPs and nothing of size N×S ever leaves VMEM.
+    """
+    h, kn, dk = q.shape
+    ks = k.shape[1]
+    if kn % segments or ks % segments:
+        raise ValueError(
+            f"packed rows ({kn}) and slots ({ks}) must divide segments="
+            f"{segments}"
+        )
+    n_seg, s_seg = kn // segments, ks // segments
+    dk_p = _round_up(dk, 128)
+    s_p = _round_up(s_seg, 128)
+    tile_n = _fit_tile_n(min(tile_n, _round_up(n_seg, 128)), s_p)
+    n_p = _round_up(n_seg, tile_n)
+
+    def pad4(x, ll, cc):  # (h, k, L, dk) -> (h, k, ll, cc)
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, ll - x.shape[2]), (0, cc - x.shape[3]))
+        )
+
+    qp = pad4(q.reshape(h, segments, n_seg, dk), n_p, dk_p)
+    kp = pad4(k.reshape(h, segments, s_seg, dk), s_p, dk_p)
+    vp = pad4(v.reshape(h, segments, n_seg, dk), n_p, dk_p)
+    qp = qp.reshape(h * segments, n_p, dk_p)
+    kp = kp.reshape(h * segments, s_p, dk_p)
+    vp = vp.reshape(h * segments, n_p, dk_p)
+    # (segments, 8, ·) — the mask rides a replicated 8-row sublane tile
+    # (see _mask_specs); the copies are a few KB and dead weight in VMEM.
+    kmask = jnp.broadcast_to(
+        jnp.pad(
+            slot_valid.reshape(segments, s_seg).astype(jnp.float32),
+            ((0, 0), (0, s_p - s_seg)),
+        )[:, None, :],
+        (segments, 8, s_p),
+    )
+    qmask = jnp.broadcast_to(
+        jnp.pad(
+            q_valid.reshape(segments, n_seg).astype(jnp.float32),
+            ((0, 0), (0, n_p - n_seg)),
+        )[:, None, :],
+        (segments, 8, n_p),
+    )
+
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    seed = jnp.full((8, 128), jnp.reshape(dropout_seed, ()).astype(jnp.int32))
+
+    scale = 1.0 / (dk ** 0.5)
+    out = _sparse_attention_padded(
+        seed, qp, kp, vp, kmask, qmask, scale, float(dropout_rate), tile_n,
+        segments,
+    )
+    return out.reshape(h, segments, s_p, dk_p)[:, :, :s_seg, :dk].reshape(
+        h, ks, dk
+    )

@@ -190,6 +190,64 @@ def multiclass_selection_draw(
     )
 
 
+# ------------------------------------------------------------ packed bags
+#
+# Batched-bags training can fold B equal-length bags along the row axis
+# into ONE (B*N, d) program: the MIL GEMM shapes are M-bound (ROOFLINE.md
+# §1 — d→d at M=10240 runs at ~14-28% peak vs ~60-80% at larger M), so
+# running them at M=B*N is the "different arithmetic" §3 calls for, and it
+# sidesteps the closed vmap-backward-schedule penalty (ROUND3.md) because
+# the graph stays unbatched. Selection stays per-bag: prepare/draw are
+# vmapped over the segment axis, then indices are offset into packed
+# (row-axis) coordinates.
+
+
+def packed_selection_prepare(
+    instance_logits: jnp.ndarray,  # (k, N) binary — or (k, N, C) multiclass
+    valid: jnp.ndarray,            # (k, N) bool
+    k_top: int,
+    multiclass: bool = False,
+) -> PreparedSelection:
+    """Per-segment hoisted top share; every leaf gains a leading (k,) axis.
+
+    Indices stay in per-segment coordinates — `packed_selection_draw`
+    converts to packed row coordinates.
+    """
+    if multiclass:
+        return jax.vmap(
+            lambda c, m: multiclass_selection_prepare(c, m, k_top)
+        )(instance_logits, valid)
+    return jax.vmap(
+        lambda c, m: binary_selection_prepare(c, m, k_top)
+    )(instance_logits, valid)
+
+
+def packed_selection_draw(
+    key: jax.Array,
+    prep: PreparedSelection,  # batched (leading k axis)
+    k_rand: int,
+    seg_len: int,
+    multiclass: bool = False,
+) -> Selection:
+    """Draw each segment's random share independently and return ONE flat
+    Selection in packed row coordinates: indices (k*S,) with segment s's
+    slots occupying [s*S, (s+1)*S) and pointing into rows
+    [s*seg_len, (s+1)*seg_len)."""
+    k = prep.top.indices.shape[0]
+    keys = jax.random.split(key, k)
+    if multiclass:
+        sel = jax.vmap(multiclass_selection_draw)(keys, prep)
+    else:
+        sel = jax.vmap(lambda kk, p: binary_selection_draw(kk, p, k_rand))(
+            keys, prep
+        )
+    offsets = (jnp.arange(k, dtype=jnp.int32) * seg_len)[:, None]
+    return Selection(
+        (sel.indices + offsets).reshape(-1),
+        sel.slot_valid.reshape(-1),
+    )
+
+
 def multiclass_lambda_selection(
     key: jax.Array,
     instance_logits: jnp.ndarray,  # (N, C)

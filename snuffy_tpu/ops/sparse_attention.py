@@ -66,3 +66,48 @@ def inverted_sparse_attention(
     out = jnp.einsum("hns,hnd->hsd", p, v, preferred_element_type=jnp.float32)
     out = out.astype(v.dtype)
     return out, (p if return_probs else None)
+
+
+def packed_inverted_sparse_attention(
+    q: jnp.ndarray,           # (h, k*N, dk) — k bags packed on the row axis
+    k: jnp.ndarray,           # (h, k*S, dk)
+    v: jnp.ndarray,           # (h, k*N, dk)
+    slot_valid: jnp.ndarray,  # (k*S,) bool
+    q_valid: jnp.ndarray,     # (k*N,) bool
+    segments: int,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Per-segment inverted sparse attention over packed bags → (h, k*S, dk).
+
+    Bag s's queries attend only to bag s's selected slots — mathematically
+    identical to calling `inverted_sparse_attention` once per bag. Computed
+    as a batched einsum over the segment axis (block-diagonal structure at
+    zero extra FLOPs); the XLA oracle for the segment-aware Pallas kernel.
+    """
+    h, kn, dk = q.shape
+    ks = k.shape[1]
+    n, s = kn // segments, ks // segments
+    qb = q.reshape(h, segments, n, dk)
+    kb = k.reshape(h, segments, s, dk)
+    vb = v.reshape(h, segments, n, dk)
+    sv = slot_valid.reshape(segments, s)
+    qv = q_valid.reshape(segments, n)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dk, dtype=jnp.float32))
+    scores = jnp.einsum(
+        "hknd,hksd->hkns", qb, kb, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(sv[None, :, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    p = p * qv[None, :, :, None].astype(p.dtype)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum(
+        "hkns,hknd->hksd", p, vb, preferred_element_type=jnp.float32
+    )
+    return out.reshape(h, ks, dk).astype(v.dtype)

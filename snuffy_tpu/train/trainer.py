@@ -36,7 +36,7 @@ import optax
 
 from snuffy_tpu.configs import MILTrainConfig, OptimizerConfig
 from snuffy_tpu.models.snuffy import MILNet, build_milnet
-from snuffy_tpu.train.losses import mixed_mil_loss
+from snuffy_tpu.train.losses import mixed_mil_loss, packed_mixed_mil_loss
 
 
 class MILTrainState(NamedTuple):
@@ -242,8 +242,59 @@ class SnuffyTrainer:
             ins,
         )
 
+    # ------------------------------------------------- packed-bags mode
+
+    def _packed_train_step(self, state, feats_b, masks_b, labels_b, bag_w,
+                           lr, rng):
+        """Same contract and semantics as `_batched_train_step`, computed
+        as ONE packed forward: the B bags fold along the row axis into a
+        (B·N, d) program, so every GEMM runs at M=B·N (the MIL shapes are
+        M-bound, ROOFLINE.md §1/§3) and the graph stays unbatched —
+        sidestepping the vmap backward-schedule penalty (ROUND3.md)."""
+        b, n, d = feats_b.shape
+        model_p = build_milnet(self.cfg.model, segments=b)
+
+        def loss_fn(group):
+            k1, k2 = jax.random.split(rng)
+            ins_logits, bag_logits, _ = model_p.apply(
+                {"params": group["model"]},
+                feats_b.reshape(b * n, d),
+                masks_b.reshape(b * n),
+                False,
+                rngs={"sparse": k1, "dropout": k2},
+            )
+            pw = (
+                None if self.pos_weight is None
+                else jnp.asarray(self.pos_weight)
+            )
+            losses, scores = packed_mixed_mil_loss(
+                ins_logits, bag_logits, labels_b, masks_b.reshape(b * n),
+                group["w"], pw, segments=b,
+            )
+            mean = jnp.sum(losses * bag_w) / jnp.maximum(jnp.sum(bag_w), 1.0)
+            ins = jax.nn.sigmoid(ins_logits).reshape(b, n, -1)
+            return mean, (losses, scores, ins)
+
+        group = {"model": state.params, "w": state.w}
+        (_, (losses, scores, ins)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(group)
+        updates, opt_state = self.tx.update(grads, state.opt_state, group)
+        mult = self.cfg.optim.single_weight_lr_multiplier
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, group["model"], updates["model"]
+        )
+        new_w = jnp.clip(group["w"] - lr * mult * updates["w"], 0.0, 1.0)
+        return (
+            MILTrainState(new_params, new_w, opt_state, state.step + 1),
+            losses,
+            scores,
+            ins,
+        )
+
     def train_bucket_batched_fn(self, n_pad: int, batch: int):
-        key = (n_pad, "batched", batch, self.mesh is not None)
+        key = (n_pad, "batched", batch, self.mesh is not None,
+               self.cfg.bag_batch_impl)
         if key not in self._epoch_fns:
             if self.mesh is not None:
                 # multi-chip: same (state, feats, masks, labels, bag_w, lr,
@@ -254,6 +305,10 @@ class SnuffyTrainer:
 
                 self._epoch_fns[key] = make_sharded_batch_train_step(
                     self, self.mesh
+                )
+            elif self.cfg.bag_batch_impl == "packed":
+                self._epoch_fns[key] = jax.jit(
+                    self._packed_train_step, donate_argnums=(0,)
                 )
             else:
                 self._epoch_fns[key] = jax.jit(

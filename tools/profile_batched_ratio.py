@@ -46,6 +46,10 @@ def build_trainer() -> SnuffyTrainer:
         ),
         optim=OptimizerConfig(optimizer="adamw", lr=2e-2, weight_decay=5e-2),
         soft_average=True,
+        # This pin tracks the r3 vmap-backward-schedule thread specifically;
+        # the packed impl (r5, bag_batch_impl default) has its own A/B in
+        # tools/profile_packed_bags.py.
+        bag_batch_impl="vmap",
     )
     return SnuffyTrainer(cfg)
 

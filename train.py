@@ -80,6 +80,11 @@ def get_args_parser():
     parser.add_argument("--bag_batch_size", default=1, type=int,
                         help="bags per optimizer step (1 = reference serial"
                              " semantics; >1 = batched grads for throughput)")
+    parser.add_argument("--bag_batch_impl", default="packed",
+                        choices=["packed", "vmap"],
+                        help="batched-step layout (single device): packed "
+                             "folds the batch along the row axis (M=B*N "
+                             "GEMMs — fastest); vmap maps the per-bag graph")
     parser.add_argument("--use_mesh", default=None, type=int,
                         choices=[0, 1],
                         help="multi-chip MIL training (bag_batch_size>1): "
@@ -155,6 +160,7 @@ def build_config(args):
         roc_run_epoch=args.roc_run_epoch,
         roc_data_split=args.roc_data_split,
         bag_batch_size=args.bag_batch_size,
+        bag_batch_impl=args.bag_batch_impl,
         use_mesh=args.use_mesh,
     )
 
