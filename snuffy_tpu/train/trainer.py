@@ -316,38 +316,60 @@ class SnuffyTrainer:
                 )
         return self._epoch_fns[key]
 
-    def eval_bucket_fn(self, n_pad: int):
-        """Batched deterministic forward for one bucket length (cached).
+    # Eval chunk size: buckets are evaluated in fixed-size packed chunks
+    # (tail chunks padded with masked dummy bags) so every bucket reuses
+    # ONE compiled program shape per (n_pad, chunk) instead of a
+    # whole-bucket program per bucket size.
+    EVAL_CHUNK = 8
+
+    def eval_bucket_fn(self, n_pad: int, batch: int = EVAL_CHUNK):
+        """Packed deterministic forward for one (bucket length, chunk)
+        shape (cached).
 
         Selection randomness still draws from the 'sparse' stream (the
         reference samples the random share at eval too, snuffy.py:141).
+
+        The chunk runs the packed row-axis layout, never a bag vmap: the
+        vmapped eval forward measured 2.1× the packed per-bag cost on chip
+        AND its compile time explodes with the batch (B=2 compiled in
+        138 s, B=4 did not finish in 15 min), while the packed program is
+        flat and compiles like a single big bag
+        (tools/profile_packed_bags.py eval mode).
         """
-        if n_pad not in self._eval_fns:
+        key = (n_pad, batch)
+        if key not in self._eval_fns:
 
-            def eval_batch(group, feats_b, masks_b, labels_b, rng):
-                def one(feats, mask, label, key):
-                    ins_logits, bag_logits, _ = self.model.apply(
-                        {"params": group["model"]},
-                        feats,
-                        mask,
-                        True,
-                        rngs={"sparse": key},
-                    )
-                    pw = (
-                        None
-                        if self.pos_weight is None
-                        else jnp.asarray(self.pos_weight)
-                    )
-                    loss, bag_score = mixed_mil_loss(
-                        ins_logits, bag_logits, label, mask, group["w"], pw
-                    )
-                    return loss, bag_score, jax.nn.sigmoid(ins_logits)
+            def eval_packed(group, feats_b, masks_b, labels_b, rng):
+                # segments come from the traced batch shape, so the
+                # compiled fn is correct for ANY leading dim a caller
+                # passes (jit re-traces per shape; `batch` is a cache key).
+                b, n, d = feats_b.shape
+                model_p = (
+                    self.model if b == 1
+                    else build_milnet(self.cfg.model, segments=b)
+                )
+                ins_logits, bag_logits, _ = model_p.apply(
+                    {"params": group["model"]},
+                    feats_b.reshape(b * n, d),
+                    masks_b.reshape(b * n),
+                    True,
+                    rngs={"sparse": rng},
+                )
+                pw = (
+                    None
+                    if self.pos_weight is None
+                    else jnp.asarray(self.pos_weight)
+                )
+                losses, scores = packed_mixed_mil_loss(
+                    ins_logits, bag_logits, labels_b,
+                    masks_b.reshape(b * n), group["w"], pw, segments=b,
+                )
+                return losses, scores, jax.nn.sigmoid(ins_logits).reshape(
+                    b, n, -1
+                )
 
-                keys = jax.random.split(rng, feats_b.shape[0])
-                return jax.vmap(one)(feats_b, masks_b, labels_b, keys)
-
-            self._eval_fns[n_pad] = jax.jit(eval_batch)
-        return self._eval_fns[n_pad]
+            self._eval_fns[key] = jax.jit(eval_packed)
+        return self._eval_fns[key]
 
     # ------------------------------------------------------------ host API
 
@@ -466,23 +488,42 @@ class SnuffyTrainer:
         seed: int,
     ):
         order, losses, scores, ins_list = [], [], [], []
+        group = {"model": state.params, "w": state.w}
         for n_pad in sorted(bucketed.keys()):
             feats_b, masks_b, labels_b, idx = bucketed[n_pad]
-            fn = self.eval_bucket_fn(n_pad)
-            group = {"model": state.params, "w": state.w}
-            l, s, ins = fn(
-                group,
-                jnp.asarray(feats_b),
-                jnp.asarray(masks_b),
-                jnp.asarray(labels_b),
-                jax.random.PRNGKey(seed + n_pad),
-            )
-            losses.append(np.asarray(l))
-            scores.append(np.asarray(s))
-            ins = np.asarray(ins)
-            for b in range(ins.shape[0]):
-                n_valid = int(masks_b[b].sum())
-                ins_list.append(ins[b, :n_valid])
+            chunk = min(self.EVAL_CHUNK, len(idx))
+            fn = self.eval_bucket_fn(n_pad, chunk)
+            key = jax.random.PRNGKey(seed + n_pad)
+            for start in range(0, len(idx), chunk):
+                fb = feats_b[start:start + chunk]
+                mb = masks_b[start:start + chunk]
+                lb = labels_b[start:start + chunk]
+                n_real = fb.shape[0]
+                if n_real < chunk:  # masked dummy bags pad the tail chunk
+                    pad = chunk - n_real
+                    fb = np.concatenate(
+                        [fb, np.zeros((pad,) + fb.shape[1:], fb.dtype)]
+                    )
+                    mb = np.concatenate(
+                        [mb, np.zeros((pad,) + mb.shape[1:], bool)]
+                    )
+                    lb = np.concatenate(
+                        [lb, np.zeros((pad,) + lb.shape[1:], lb.dtype)]
+                    )
+                key, sub = jax.random.split(key)
+                l, s, ins = fn(
+                    group,
+                    jnp.asarray(fb),
+                    jnp.asarray(mb),
+                    jnp.asarray(lb),
+                    sub,
+                )
+                losses.append(np.asarray(l)[:n_real])
+                scores.append(np.asarray(s)[:n_real])
+                ins = np.asarray(ins)
+                for b in range(n_real):
+                    n_valid = int(mb[b].sum())
+                    ins_list.append(ins[b, :n_valid])
             order.extend(np.asarray(idx).tolist())
         return (
             np.concatenate(losses),

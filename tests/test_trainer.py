@@ -301,3 +301,54 @@ def test_train_step_across_config_grid():
         after = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
         assert np.isfinite(np.asarray(losses)).all(), (act, opt, init)
         assert not np.array_equal(before, after), (act, opt, init)
+
+
+def test_eval_epoch_packed_chunks_match_per_bag_forward():
+    """run_eval_epoch evaluates fixed-size packed chunks (EVAL_CHUNK bags
+    folded along the row axis, tail chunks padded with masked dummy bags)
+    — the per-bag losses/scores/instance probs must equal the chunk=1
+    per-bag forward exactly (random share 0 → deterministic selection).
+    Pins the chunking/tail-slicing logic that replaced the whole-bucket
+    vmap (whose compile time exploded with bucket size)."""
+    import dataclasses
+
+    model = SnuffyModelConfig(
+        feats_size=32, num_classes=1, num_heads=2, big_lambda=8,
+        random_patch_share=0.0, mlp_multiplier=2,
+        encoder_dropout=0.0, attention_dropout=0.0, depth=1,
+        use_pallas=False,
+    )
+    cfg = dataclasses.replace(tiny_cfg(), model=model)
+    trainer = SnuffyTrainer(cfg)
+    state = trainer.init_state(0)
+
+    rng = np.random.default_rng(5)
+    # 11 same-ish-length bags → one bucket of >EVAL_CHUNK (tail chunk of 3)
+    labels, feats, *_ = make_synthetic_mil(rng, num_bags=11, d=32,
+                                           n_lo=20, n_hi=24)
+    bucketed = bucket_bags(labels, feats, rng=rng)
+    losses, scores, ins_list, order = trainer.run_eval_epoch(
+        state, bucketed, seed=7
+    )
+    assert len(order) == 11 and len(ins_list) == 11
+
+    group = {"model": state.params, "w": state.w}
+    oracle = {}
+    for n_pad, (fb, mb, lb, idx) in bucketed.items():
+        fn = trainer.eval_bucket_fn(n_pad, 1)
+        for b in range(len(idx)):
+            l, s, ins = fn(
+                group, jnp.asarray(fb[b:b + 1]), jnp.asarray(mb[b:b + 1]),
+                jnp.asarray(lb[b:b + 1]), jax.random.PRNGKey(0),
+            )
+            n_valid = int(mb[b].sum())
+            oracle[int(idx[b])] = (
+                float(np.asarray(l).reshape(-1)[0]),
+                np.asarray(s).reshape(-1),
+                np.asarray(ins)[0, :n_valid],
+            )
+    for pos, bag_idx in enumerate(order):
+        l_ref, s_ref, ins_ref = oracle[bag_idx]
+        np.testing.assert_allclose(losses[pos], l_ref, atol=1e-5)
+        np.testing.assert_allclose(scores[pos], s_ref, atol=1e-5)
+        np.testing.assert_allclose(ins_list[pos], ins_ref, atol=1e-5)

@@ -77,7 +77,7 @@ def main():
           f"({dt / iters * 1e3:.1f} ms per {B}-bag step; "
           f"{batched_bps / serial_bps:.2f}x serial per-bag)", flush=True)
 
-    # inference (vmapped eval) — B=32 bags per dispatch (serving shape:
+    # inference (packed eval) — B=32 bags per dispatch (serving shape:
     # a bucket's full test set in one call; B=8 is dispatch-RTT-bound)
     Bi = 32
     feats_i = jnp.concatenate([feats] * (Bi // B))
