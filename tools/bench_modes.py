@@ -83,7 +83,7 @@ def main():
     feats_i = jnp.concatenate([feats] * (Bi // B))
     masks_i = jnp.concatenate([masks] * (Bi // B))
     labels_i = jnp.concatenate([labels] * (Bi // B))
-    ef = trainer.eval_bucket_fn(n_pad)
+    ef = trainer.eval_bucket_fn(n_pad, Bi)
     group = {"model": state.params, "w": state.w}
     l, s, ins = ef(group, feats_i, masks_i, labels_i, jax.random.PRNGKey(0))
     float(np.asarray(l).sum())

@@ -13,6 +13,13 @@ adamw, soft_average):
 Timing: ≥2 s calibrated windows, 3 repeats, median + spread, host-transfer
 fenced (relay caveats, CLAUDE.md). Run: python tools/profile_packed_bags.py
 [batch sizes...]
+
+Eval mode — `python tools/profile_packed_bags.py eval [--with-vmap]
+[chunk sizes...]` — times the packed deterministic eval forward
+(trainer.eval_bucket_fn) at the given chunk sizes. --with-vmap also times
+the pre-r5 whole-bucket vmapped eval at B=2 for the A/B; WARNING: its
+compile time explodes with B (B=2 ~138 s, B=4 never finished — the
+pathology that motivated the packed chunked eval path).
 """
 
 import sys
@@ -74,7 +81,81 @@ def measure(step_once, fence, bags_per_call):
     return rates[1], rates[0], rates[2]
 
 
+def main_eval(args):
+    """Packed eval-forward throughput per chunk size (+ optional legacy
+    whole-bucket vmap A/B)."""
+    with_vmap = "--with-vmap" in args
+    chunks = [int(a) for a in args if not a.startswith("--")] or [1, 2, 4, 8]
+    rng = np.random.default_rng(0)
+    tr = make_trainer(1, "vmap")
+    state = tr.init_state(0, example_n=N_PAD)
+    group = {"model": state.params, "w": state.w}
+
+    def bucket(b):
+        feats = jnp.asarray(
+            rng.standard_normal((b, N_PAD, 384)), jnp.float32)
+        masks = jnp.asarray(np.arange(N_PAD)[None, :] < N_VALID).repeat(b, 0)
+        labels = jnp.asarray(rng.integers(0, 2, (b, 1)), jnp.float32)
+        return feats, masks, labels
+
+    for b in chunks:
+        feats, masks, labels = bucket(b)
+        fn = tr.eval_bucket_fn(N_PAD, b)
+        out = [None]
+
+        def once():
+            out[0] = fn(group, feats, masks, labels, jax.random.PRNGKey(1))
+
+        def fence():
+            np.asarray(out[0][0]).sum()
+
+        med, lo, hi = measure(once, fence, b)
+        print(f"packed eval chunk={b:2d}: {med:7.1f} bags/s  "
+              f"({lo:.1f}-{hi:.1f})", flush=True)
+
+    if with_vmap:
+        b = 2
+        feats, masks, labels = bucket(b)
+
+        def eval_vmapped(group, feats_b, masks_b, labels_b, rng_key):
+            # the pre-r5 whole-bucket eval: per-bag graph vmapped
+            def one(f, m, lbl, key):
+                from snuffy_tpu.train.losses import mixed_mil_loss
+
+                ins, bag, _ = tr.model.apply(
+                    {"params": group["model"]}, f, m, True,
+                    rngs={"sparse": key},
+                )
+                loss, score = mixed_mil_loss(ins, bag, lbl, m, group["w"],
+                                             None)
+                return loss, score, jax.nn.sigmoid(ins)
+
+            keys = jax.random.split(rng_key, feats_b.shape[0])
+            return jax.vmap(one)(feats_b, masks_b, labels_b, keys)
+
+        fn = jax.jit(eval_vmapped)
+        out = [None]
+
+        def once_v():
+            out[0] = fn(group, feats, masks, labels, jax.random.PRNGKey(1))
+
+        def fence_v():
+            np.asarray(out[0][0]).sum()
+
+        t0 = time.perf_counter()
+        once_v()
+        fence_v()
+        print(f"vmap eval B={b} compile+first: {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        med, lo, hi = measure(once_v, fence_v, b)
+        print(f"vmap   eval B={b:2d}    : {med:7.1f} bags/s  "
+              f"({lo:.1f}-{hi:.1f})", flush=True)
+
+
 def main():
+    if sys.argv[1:2] == ["eval"]:
+        main_eval(sys.argv[2:])
+        return
     batches = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
     rng = np.random.default_rng(0)
 
