@@ -311,34 +311,52 @@ class EvalMaskCache:
 
     def get(self, path_or_reader, level: int, include_itcs: bool):
         """→ (evaluation mask, itc label set, downsample at `level`)."""
-        key = (getattr(path_or_reader, "path", None)
-               or getattr(getattr(path_or_reader, "_slide", None),
-                          "path", None)
-               or (path_or_reader if isinstance(path_or_reader, str)
-                   else None),
-               level, include_itcs)
-        if key[0] is None:   # un-keyable in-memory reader: no caching
+        path = (getattr(path_or_reader, "path", None)
+                or getattr(getattr(path_or_reader, "_slide", None),
+                           "path", None)
+                or (path_or_reader if isinstance(path_or_reader, str)
+                    else None))
+        if path is None:   # un-keyable in-memory reader: no caching
             reader = open_mask(path_or_reader)
             ev, itcs = compute_evaluation_mask(reader, level, include_itcs)
             return ev, itcs, reader.read(level).downsample
+        # mtime+size in the key: a re-exported mask TIF (same filename,
+        # fixed annotation) must invalidate, not silently serve the stale
+        # labeled mask across sweeps that share a cache directory.
+        try:
+            st = os.stat(path)
+            stamp = (int(st.st_mtime_ns), int(st.st_size))
+        except OSError:
+            stamp = None
+        key = (path, level, include_itcs, stamp)
         if key in self._mem:
             return self._mem[key]
         npz = self._npz_path(key)
+        entry = None
         if npz and os.path.exists(npz):
-            data = np.load(npz)
-            entry = (data["mask"],
-                     set(int(v) for v in data["itcs"]),
-                     float(data["downsample"]))
-        else:
+            try:
+                data = np.load(npz)
+                entry = (data["mask"],
+                         set(int(v) for v in data["itcs"]),
+                         float(data["downsample"]))
+            except Exception:
+                entry = None   # truncated/corrupt cache file: recompute
+        if entry is None:
             reader = open_mask(path_or_reader)
             ev, itcs = compute_evaluation_mask(reader, level, include_itcs)
             entry = (ev, itcs, reader.read(level).downsample)
             if npz:
+                # Atomic publish: concurrent sweep processes share the
+                # directory, and a reader must never see a half-written
+                # zip. Write to a private temp name, then os.replace.
+                # (must end in .npz — np.savez appends it otherwise)
+                tmp = f"{npz}.{os.getpid()}.tmp.npz"
                 np.savez_compressed(
-                    npz, mask=entry[0],
+                    tmp, mask=entry[0],
                     itcs=np.asarray(sorted(entry[1]), np.int64),
                     downsample=np.float64(entry[2]),
                 )
+                os.replace(tmp, npz)
         self._mem[key] = entry
         return entry
 

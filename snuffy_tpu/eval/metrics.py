@@ -80,7 +80,15 @@ def compute_pos_weight(labels):
     for label in labels:
         arr = np.clip(np.asarray(label, np.float64), 0, 1)
         pos_count = arr if pos_count is None else pos_count + arr
-    out = (len(labels) - pos_count) / pos_count
+    # Degenerate split guard: a train split (or class) with ZERO positive
+    # bags would give (n-0)/0 = inf and NaN BCE (inf·0) from step 1. The
+    # reference hits the same division (utils.py:499-507) but only ever
+    # ran on splits with positives; weight 1.0 (unweighted) is the only
+    # sane value when the positive class is absent.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(
+            pos_count > 0, (len(labels) - pos_count) / pos_count, 1.0
+        )
     return float(out) if np.ndim(out) == 0 else out.astype(np.float32)
 
 

@@ -85,27 +85,19 @@ def packed_mixed_mil_loss(
     """Per-bag `mixed_mil_loss` over a packed forward's outputs.
 
     Returns (losses (k,), bag_scores (k, C)) — identical per bag to calling
-    `mixed_mil_loss` on each bag's slice.
+    `mixed_mil_loss` on each bag's slice (it IS that call, vmapped over the
+    unpacked segment axis: the loss tail is elementwise/reduction-only, so
+    the vmap-backward schedule penalty of the model graph does not apply).
     """
     kn, c = ins_logits.shape
     n = kn // segments
-    ins_b = ins_logits.reshape(segments, n, c)
-    mask_b = mask.reshape(segments, n)
-    guarded = jnp.where(mask_b[:, :, None], ins_b, jnp.float32(-1e30))
-    max_logits = jnp.max(guarded, axis=1)                      # (k, C)
-
-    pw = 1.0 if pos_weight is None else pos_weight
-
-    def bce(lg):  # (k, C) -> per-bag mean over classes (k,)
-        log_p = jax.nn.log_sigmoid(lg)
-        log_not_p = jax.nn.log_sigmoid(-lg)
-        return jnp.mean(
-            -(pw * bag_labels * log_p + (1.0 - bag_labels) * log_not_p),
-            axis=-1,
-        )
-
-    losses = w * bce(bag_logits) + (1.0 - w) * bce(max_logits)
-    bag_scores = (1.0 - w) * jax.nn.sigmoid(max_logits) + w * jax.nn.sigmoid(
-        bag_logits
+    return jax.vmap(
+        mixed_mil_loss, in_axes=(0, 0, 0, 0, None, None)
+    )(
+        ins_logits.reshape(segments, n, c),
+        bag_logits,
+        bag_labels,
+        mask.reshape(segments, n),
+        w,
+        pos_weight,
     )
-    return losses, bag_scores

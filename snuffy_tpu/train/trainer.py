@@ -116,6 +116,14 @@ class SnuffyTrainer:
     (counterpart of reference train.py Trainer/SmallWeightTrainer/Snuffy)."""
 
     def __init__(self, cfg: MILTrainConfig):
+        if cfg.bag_batch_impl not in ("packed", "vmap"):
+            # Loud, not silent: an unknown impl string would otherwise
+            # fall through to the slower vmap path with no warning (the
+            # same silent-downgrade class the crop_pack check guards).
+            raise ValueError(
+                f"bag_batch_impl must be 'packed' or 'vmap', got "
+                f"{cfg.bag_batch_impl!r}"
+            )
         self.cfg = cfg
         self.model: MILNet = build_milnet(cfg.model)
         self.tx = make_optimizer(cfg.optim, cfg.soft_average)

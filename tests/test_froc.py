@@ -274,3 +274,30 @@ def test_eval_mask_cache_roundtrip(tmp_path):
     finally:
         froc_mod.compute_evaluation_mask = real_compute
     assert s2 == pytest.approx(base_score)
+
+    # npz publication is atomic (temp + os.replace): no half-written
+    # .tmp files may linger for a concurrent reader to trip over
+    leftovers = [p for p in (tmp_path / "cache").iterdir()
+                 if ".tmp" in p.name]
+    assert leftovers == []
+
+    # a REGENERATED mask file (same name, new content/mtime) must
+    # invalidate — stale cache entries silently corrupt FROC scores
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    arr2 = np.zeros((size, size), np.uint8)
+    arr2[:tumor // 2, :tumor // 2] = 2   # smaller tumor region
+    Image.fromarray(arr2).save(str(masks / "tumor_001_mask.tif"))
+    _os.utime(str(masks / "tumor_001_mask.tif"))
+    n_npz_before = len(list((tmp_path / "cache").glob("*.npz")))
+    cache3 = EvalMaskCache(directory=str(tmp_path / "cache"))
+    s3, _, sens3 = froc_for_slides(
+        detections, mask_for, types, evaluation_mask_level=5,
+        mask_cache=cache3)
+    s3_ref, _, sens3_ref = froc_for_slides(
+        detections, mask_for, types, evaluation_mask_level=5)
+    assert s3 == pytest.approx(s3_ref) and sens3 == sens3_ref
+    # the rewritten file got a NEW key (mtime/size stamp) -> a second npz
+    assert len(list((tmp_path / "cache").glob("*.npz"))) == n_npz_before + 1

@@ -198,6 +198,28 @@ def test_compute_pos_weight_matches_reference_elementwise_semantics():
     assert pw.shape == (2,)
     np.testing.assert_allclose(pw, [(6 - 2) / 2, (6 - 4) / 4])
 
+    # Degenerate splits must not emit inf (inf*0 = NaN BCE from step 1):
+    # zero positives -> neutral 1.0, scalar and per-class.
+    assert compute_pos_weight([0.0, 0.0, 0.0]) == 1.0
+    pw0 = compute_pos_weight(
+        [np.array([1.0, 0.0]), np.array([1.0, 0.0])]
+    )
+    np.testing.assert_allclose(pw0, [0.0, 1.0])  # all-pos stays (n-p)/p=0
+    assert np.all(np.isfinite(pw0))
+
+
+def test_unknown_bag_batch_impl_raises():
+    """An unknown impl string must fail loudly, not silently run the
+    slower vmap path (same silent-downgrade class as the crop_pack
+    check in ssl/dino.py)."""
+    import pytest
+
+    from snuffy_tpu.configs import MILTrainConfig
+    from snuffy_tpu.train.trainer import SnuffyTrainer
+
+    with pytest.raises(ValueError, match="bag_batch_impl"):
+        SnuffyTrainer(MILTrainConfig(bag_batch_impl="packd"))
+
 
 def test_batched_tail_dummy_bags_keep_state_finite():
     """A tail batch padded with all-invalid dummy bags must not poison the

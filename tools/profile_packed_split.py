@@ -9,7 +9,6 @@ Run: python tools/profile_packed_split.py [B]
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -23,26 +22,10 @@ from snuffy_tpu.train.losses import mixed_mil_loss, packed_mixed_mil_loss
 from snuffy_tpu.train.trainer import SnuffyTrainer
 
 N_PAD, N_VALID, D = 10240, 10000, 384
-WINDOW_S = 2.0
 
 
-def measure(enqueue, fence, units_per_call):
-    enqueue(); fence()
-    t0 = time.perf_counter()
-    for _ in range(4):
-        enqueue()
-    fence()
-    probe = (time.perf_counter() - t0) / 4
-    iters = max(4, int(np.ceil(WINDOW_S / probe)))
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            enqueue()
-        fence()
-        rates.append(units_per_call * iters / (time.perf_counter() - t0))
-    rates.sort()
-    return rates[1], rates[0], rates[2]
+# one calibrated-window implementation shared across the packed profilers
+from profile_packed_bags import measure  # noqa: E402
 
 
 def main():
